@@ -1,0 +1,16 @@
+from simxns_tpu.models.bert import BertConfig, BertEncoder, EncoderOutput
+from simxns_tpu.models.dual_encoder import BiEncoder, BiEncoderConfig
+from simxns_tpu.models.cross_encoder import CrossEncoder, CrossEncoderConfig
+from simxns_tpu.models.colbert import ColBERT, ColBERTConfig
+
+__all__ = [
+    "BertConfig",
+    "BertEncoder",
+    "EncoderOutput",
+    "BiEncoder",
+    "BiEncoderConfig",
+    "CrossEncoder",
+    "CrossEncoderConfig",
+    "ColBERT",
+    "ColBERTConfig",
+]

@@ -1,0 +1,116 @@
+"""Exact maximum-inner-product top-k (the FAISS ``IndexFlatIP`` replacement).
+
+The reference shards a flat fp16 FAISS index across 8 GPUs and calls
+``index.search(q, 100)`` (``SimANS/wiki/co_training_generate_new_train_wiki.py:
+307-332,369-371``; ``PROD/ProD_base/inference_DE_marco.py:340-392``). On TPU the
+corpus embedding matrix lives HBM-resident (sharded over the mesh's ``data``
+axis by :mod:`simxns_tpu.index`), and search is a blocked matmul with streaming
+k-selection:
+
+- ``exact_topk``        — one-shot matmul + ``lax.top_k``; fine for small N.
+- ``blocked_mips_topk`` — ``lax.scan`` over corpus blocks keeping a running
+  top-k (merge-and-reselect). Bounds the score-matrix memory to
+  ``Q x block_size`` so 21M-passage corpora never materialize ``Q x N``.
+
+Both return global corpus ids, so the distributed engine can merge per-shard
+results with one ``all_gather`` + final ``top_k`` (SURVEY.md §5.8).
+``lax.top_k`` lowers to an efficient XLA sort-based selection on TPU; a Pallas
+fused score+select kernel plugs in behind the same interface
+(:mod:`simxns_tpu.ops.mips_kernel`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def exact_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    *,
+    id_offset: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k inner products of ``queries [Q,H]`` against ``corpus [N,H]``.
+
+    Returns ``(scores [Q,k] f32, ids [Q,k] i32)``; ids are offset by
+    ``id_offset`` (shard-local -> global id translation).
+    """
+    scores = jnp.einsum(
+        "qh,nh->qn", queries, corpus, preferred_element_type=jnp.float32
+    )
+    top_scores, top_ids = jax.lax.top_k(scores, k)
+    return top_scores, (top_ids + id_offset).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "block_size", "id_offset", "valid_n"))
+def blocked_mips_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    *,
+    block_size: int = 8192,
+    id_offset: int = 0,
+    valid_n: int | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming top-k over corpus blocks; O(Q*(k+block)) live memory.
+
+    ``valid_n`` masks out padding rows at the tail of ``corpus`` (the corpus is
+    padded to a block multiple so shapes stay static).
+    """
+    n, h = corpus.shape
+    q = queries.shape[0]
+    if n % block_size != 0:
+        pad = block_size - n % block_size
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+        if valid_n is None:
+            valid_n = n
+        n = corpus.shape[0]
+    if valid_n is None:
+        valid_n = n
+    num_blocks = n // block_size
+    blocks = corpus.reshape(num_blocks, block_size, h)
+
+    init_scores = jnp.full((q, k), NEG_INF, dtype=jnp.float32)
+    init_ids = jnp.full((q, k), -1, dtype=jnp.int32)
+
+    def step(carry, inp):
+        best_s, best_i = carry
+        block, b_idx = inp
+        s = jnp.einsum("qh,nh->qn", queries, block, preferred_element_type=jnp.float32)
+        local_ids = b_idx * block_size + jax.lax.broadcasted_iota(
+            jnp.int32, (q, block_size), 1
+        )
+        s = jnp.where(local_ids < valid_n, s, NEG_INF)
+        cand_s = jnp.concatenate([best_s, s], axis=1)
+        cand_i = jnp.concatenate([best_i, local_ids], axis=1)
+        new_s, sel = jax.lax.top_k(cand_s, k)
+        new_i = jnp.take_along_axis(cand_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    (scores, ids), _ = jax.lax.scan(
+        step,
+        (init_scores, init_ids),
+        (blocks, jnp.arange(num_blocks, dtype=jnp.int32)),
+    )
+    return scores, jnp.where(ids >= 0, ids + id_offset, ids)
+
+
+def merge_topk(
+    scores: jax.Array, ids: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Merge per-shard top-k lists: [S, Q, k'] -> global [Q, k].
+
+    Used after ``all_gather`` of shard-local results (the TPU analog of
+    FAISS's cross-GPU result merge).
+    """
+    s = jnp.moveaxis(scores, 0, 1).reshape(scores.shape[1], -1)
+    i = jnp.moveaxis(ids, 0, 1).reshape(ids.shape[1], -1)
+    top_s, sel = jax.lax.top_k(s, k)
+    return top_s, jnp.take_along_axis(i, sel, axis=1)

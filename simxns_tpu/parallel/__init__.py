@@ -1,0 +1,27 @@
+from simxns_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    create_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    local_batch_size,
+)
+from simxns_tpu.parallel.collectives import (
+    all_gather_local_grad,
+    all_gather_full_grad,
+    gather_in_batch_negatives,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "create_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "local_batch_size",
+    "all_gather_local_grad",
+    "all_gather_full_grad",
+    "gather_in_batch_negatives",
+]

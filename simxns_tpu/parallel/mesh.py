@@ -1,0 +1,83 @@
+"""Device mesh and sharding helpers.
+
+The reference (microsoft/SimXNS) trains with NCCL DDP over 8 GPUs — pure data
+parallelism plus ad-hoc cross-rank embedding gathers (SURVEY.md §2.2, §2.8).
+On TPU all of that collapses into one SPMD program over a ``jax.sharding.Mesh``:
+
+- the ``data`` axis carries the per-step batch (DP) and the corpus shards of
+  the MIPS index (the FAISS ``co.shard=True`` equivalent,
+  ``SimANS/wiki/co_training_generate_new_train_wiki.py:322-328``);
+- a ``model`` axis is laid out up front so tensor parallelism can be enabled
+  later without re-plumbing (the reference never needs it at BERT-base scale).
+
+Everything here is plain ``jax.sharding`` — collectives are inserted by XLA
+from the sharding annotations and ride ICI.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ``(data, model)`` mesh over the available devices.
+
+    With ``n_data=None`` all devices not consumed by ``n_model`` go to the
+    data axis. On a single chip this degenerates to a 1x1 mesh so every code
+    path is identical between 1-chip dev runs and v5e-8 production runs.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        if len(devs) % n_model != 0:
+            raise ValueError(f"{len(devs)} devices not divisible by n_model={n_model}")
+        n_data = len(devs) // n_model
+    needed = n_data * n_model
+    if needed > len(devs):
+        raise ValueError(f"mesh {n_data}x{n_model} needs {needed} devices, have {len(devs)}")
+    grid = np.asarray(devs[:needed]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard the leading (batch) dim over ``data``; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n = mesh.shape[DATA_AXIS]
+    if global_batch % n != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by data={n}")
+    return global_batch // n
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a host batch pytree with the batch dim sharded over ``data``.
+
+    Accepts numpy or jax arrays; every leaf must share the same leading dim.
+    """
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, batch_sharding(mesh, ndim=max(x.ndim, 1)))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return int(math.ceil(n / m) * m)

@@ -1,0 +1,128 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simxns_tpu.models.bert import BertConfig, BertEncoder, truncate_layers
+from simxns_tpu.models.dual_encoder import BiEncoder, BiEncoderConfig
+from simxns_tpu.models.cross_encoder import CrossEncoder, CrossEncoderConfig
+from simxns_tpu.models.colbert import (
+    ColBERT, ColBERTConfig, maxsim_score, maxsim_score_paired)
+
+CFG = BertConfig.tiny()
+
+
+def _batch(key, b=4, s=16, vocab=CFG.vocab_size):
+    kids, _ = jax.random.split(key)
+    ids = jax.random.randint(kids, (b, s), 0, vocab)
+    mask = jnp.ones((b, s), dtype=jnp.int32).at[:, s // 2:].set(0)
+    return ids, mask
+
+
+def test_bert_encoder_shapes():
+    enc = BertEncoder(CFG)
+    ids, mask = _batch(jax.random.PRNGKey(0))
+    params = enc.init(jax.random.PRNGKey(1), ids, mask)
+    out = enc.apply(params, ids, mask,
+                    output_hidden_states=True, output_attentions=True)
+    assert out.last_hidden_state.shape == (4, 16, CFG.hidden_size)
+    assert out.pooled.shape == (4, CFG.hidden_size)
+    assert len(out.hidden_states) == CFG.num_layers + 1
+    assert len(out.attentions) == CFG.num_layers
+    assert out.attentions[0].shape == (4, CFG.num_heads, 16, 16)
+    # CLS pooling contract: pooled == last_hidden[:, 0]
+    np.testing.assert_allclose(out.pooled, out.last_hidden_state[:, 0])
+
+
+def test_bert_mask_invariance():
+    """Padding tokens must not affect unmasked token outputs."""
+    enc = BertEncoder(CFG)
+    ids, mask = _batch(jax.random.PRNGKey(2))
+    params = enc.init(jax.random.PRNGKey(3), ids, mask)
+    out1 = enc.apply(params, ids, mask)
+    ids2 = ids.at[:, 12:].set(7)  # change padded region
+    out2 = enc.apply(params, ids2, mask)
+    np.testing.assert_allclose(
+        out1.last_hidden_state[:, :8], out2.last_hidden_state[:, :8],
+        atol=1e-5, rtol=1e-5)
+
+
+def test_remat_matches_plain():
+    ids, mask = _batch(jax.random.PRNGKey(4))
+    enc = BertEncoder(CFG)
+    params = enc.init(jax.random.PRNGKey(5), ids, mask)
+    plain = enc.apply(params, ids, mask).pooled
+    remat_out = BertEncoder(CFG.replace(remat=True)).apply(params, ids, mask).pooled
+    np.testing.assert_allclose(plain, remat_out, atol=1e-6)
+
+
+def test_truncate_layers():
+    enc = BertEncoder(CFG)
+    ids, mask = _batch(jax.random.PRNGKey(6))
+    params = enc.init(jax.random.PRNGKey(7), ids, mask)["params"]
+    small = truncate_layers(params, 1)
+    assert "layer_0" in small and "layer_1" not in small
+    small_enc = BertEncoder(CFG.replace(num_layers=1))
+    out = small_enc.apply({"params": small}, ids, mask)
+    assert out.pooled.shape == (4, CFG.hidden_size)
+
+
+def test_biencoder_shared_vs_separate():
+    ids, mask = _batch(jax.random.PRNGKey(8))
+    shared = BiEncoder(BiEncoderConfig(bert=CFG, share_weight=True))
+    params = shared.init(jax.random.PRNGKey(9), ids, mask, ids, mask)
+    q, c = shared.apply(params, ids, mask, ids, mask)
+    np.testing.assert_allclose(q, c, atol=1e-6)  # same tower, same input
+
+    sep = BiEncoder(BiEncoderConfig(bert=CFG))
+    params2 = sep.init(jax.random.PRNGKey(10), ids, mask, ids, mask)
+    q2, c2 = sep.apply(params2, ids, mask, ids, mask)
+    assert not np.allclose(q2, c2)
+    # single-tower methods agree with the pair call
+    q_only = sep.apply(params2, ids, mask, method="encode_query")
+    np.testing.assert_allclose(q_only, q2, atol=1e-6)
+
+
+def test_biencoder_mean_pool_and_projection():
+    ids, mask = _batch(jax.random.PRNGKey(11))
+    model = BiEncoder(BiEncoderConfig(bert=CFG, pooling="mean",
+                                      projection_dim=32))
+    params = model.init(jax.random.PRNGKey(12), ids, mask, ids, mask)
+    q, c = model.apply(params, ids, mask, ids, mask)
+    assert q.shape == (4, 32) and c.shape == (4, 32)
+
+
+def test_cross_encoder_grouping():
+    n, m, s = 2, 3, 16
+    ids, mask = _batch(jax.random.PRNGKey(13), b=n * m, s=s)
+    ce = CrossEncoder(CrossEncoderConfig(bert=CFG, binary_head=True,
+                                         per_layer_logits=True))
+    params = ce.init(jax.random.PRNGKey(14), ids, mask, group_size=m)
+    out = ce.apply(params, ids, mask, group_size=m)
+    assert out["logits"].shape == (n, m)
+    assert out["per_layer_logits"].shape == (CFG.num_layers, n, m)
+    assert out["binary_logits"].shape == (n * m, 2)
+
+
+def test_colbert_maxsim():
+    ids, mask = _batch(jax.random.PRNGKey(15))
+    model = ColBERT(ColBERTConfig(bert=CFG, dim=32))
+    params = model.init(jax.random.PRNGKey(16), ids, mask, ids, mask)
+    q, d = model.apply(params, ids, mask, ids, mask)
+    assert q.shape == (4, 16, 32)
+    # cosine mode: embeddings of valid tokens are unit-norm
+    norms = np.linalg.norm(np.asarray(q), axis=-1)
+    np.testing.assert_allclose(norms[:, :8], 1.0, atol=1e-3)
+    np.testing.assert_allclose(norms[:, 8:], 0.0, atol=1e-6)
+
+    scores = maxsim_score(q, d)
+    assert scores.shape == (4, 4)
+    paired = maxsim_score_paired(q, d)
+    np.testing.assert_allclose(np.diag(np.asarray(scores)), np.asarray(paired),
+                               rtol=1e-5)
+    # oracle check against a tiny numpy maxsim
+    qn, dn = np.asarray(q, np.float32), np.asarray(d, np.float32)
+    want = sum(
+        np.max(qn[0, t] @ dn[1].T) for t in range(16)
+    )
+    np.testing.assert_allclose(scores[0, 1], want, rtol=1e-4)
