@@ -1,0 +1,13 @@
+from simxns_tpu.data.sampling import (
+    simans_weights, sample_hard_negatives, select_negatives)
+from simxns_tpu.data.tokenization import HashTokenizer, load_hf_tokenizer
+from simxns_tpu.data.datasets import (
+    RetrievalExample, RetrievalDataset, RetrievalCollator,
+    load_wiki_json, load_marco_tsv, load_qa_csv, load_passages_tsv)
+
+__all__ = [
+    "simans_weights", "sample_hard_negatives", "select_negatives",
+    "HashTokenizer", "load_hf_tokenizer",
+    "RetrievalExample", "RetrievalDataset", "RetrievalCollator",
+    "load_wiki_json", "load_marco_tsv", "load_qa_csv", "load_passages_tsv",
+]

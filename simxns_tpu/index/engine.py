@@ -1,0 +1,266 @@
+"""Encode -> index -> search engine (the FAISS + pickle/disk dance, replaced).
+
+Reference pipeline (SURVEY.md §3.2): each rank encodes a corpus shard,
+pickles it to disk, barriers, rank 0 concatenates, reorders by id, builds a
+FAISS flat-IP index sharded over 8 GPUs, searches top-100, labels hits by
+answer string match, and rewrites the train JSON
+(``SimANS/wiki/co_training_generate_new_train_wiki.py:226-465``).
+
+TPU-native version: the corpus embedding matrix is a single jax array
+sharded row-wise over the mesh ``data`` axis and *stays in HBM* between
+phases — encode, index build, and search are all device ops; only hit
+labeling (answer string match) and train-file regeneration touch the host.
+
+- :class:`CorpusEncoder` — chunked corpus encode under jit, batch dim sharded.
+- :class:`MIPSIndex`    — HBM-resident sharded matrix + top-k search
+  (per-shard blocked scan + cross-shard merge via one ``all_gather``).
+- :class:`RetrievalEngine` — mine/eval driver: search, label hits,
+  Eval_Tool metrics, and ``reform_out`` train-file regeneration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from simxns_tpu.evals.metrics import get_metrics, top_k_hits_accuracy
+from simxns_tpu.evals.qa_match import has_answer
+from simxns_tpu.ops.topk import blocked_mips_topk, merge_topk
+from simxns_tpu.parallel.mesh import DATA_AXIS, pad_to_multiple
+
+
+class CorpusEncoder:
+    """Encode a tokenized corpus into embeddings with a jitted encode fn.
+
+    ``encode_fn(params, ids, mask) -> [B, H]`` is typically
+    ``BiEncoder.apply(..., method='encode_passage')``. The corpus is consumed
+    in fixed-size chunks (one compilation); the tail chunk is padded.
+    Replaces the reference's per-rank encode + disk merge
+    (``co_training_generate_new_train_wiki.py:239-280``).
+    """
+
+    def __init__(self, encode_fn: Callable, mesh: Mesh, chunk_size: int = 4096):
+        self.mesh = mesh
+        self.chunk_size = chunk_size
+        in_shard = NamedSharding(mesh, P(DATA_AXIS, None))
+        self._encode = jax.jit(
+            encode_fn,
+            in_shardings=(None, in_shard, in_shard),
+            out_shardings=NamedSharding(mesh, P(DATA_AXIS, None)),
+        )
+
+    def __call__(self, params, token_ids: np.ndarray, attention_mask: np.ndarray,
+                 out_dtype=np.float32) -> np.ndarray:
+        n = token_ids.shape[0]
+        chunks = []
+        for s in range(0, n, self.chunk_size):
+            ids = token_ids[s: s + self.chunk_size]
+            mask = attention_mask[s: s + self.chunk_size]
+            valid = ids.shape[0]
+            if valid < self.chunk_size:
+                pad = self.chunk_size - valid
+                ids = np.pad(ids, ((0, pad), (0, 0)))
+                mask = np.pad(mask, ((0, pad), (0, 0)))
+            emb = self._encode(params, jnp.asarray(ids), jnp.asarray(mask))
+            chunks.append(np.asarray(emb, dtype=out_dtype)[:valid])
+        return np.concatenate(chunks, axis=0)
+
+
+class MIPSIndex:
+    """HBM-resident, row-sharded exact MIPS index.
+
+    The FAISS ``IndexFlatIP`` + ``GpuMultipleClonerOptions(shard=True)``
+    equivalent: embeddings sharded over the ``data`` axis, searched with a
+    per-shard streaming top-k and a cross-shard merge. fp16 in FAISS
+    (``useFloat16=True``) maps to bf16 storage (``store_dtype``).
+    """
+
+    def __init__(self, mesh: Mesh, block_size: int = 4096,
+                 store_dtype=jnp.bfloat16):
+        self.mesh = mesh
+        self.block_size = block_size
+        self.store_dtype = store_dtype
+        self.embeddings: Optional[jax.Array] = None
+        self.num_rows = 0
+        self._search_cache: Dict[Tuple[int, int], Callable] = {}
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape[DATA_AXIS]
+
+    def build(self, embeddings: np.ndarray) -> None:
+        """Shard [N, H] embeddings row-wise over the mesh (pads to shards)."""
+        n, h = embeddings.shape
+        self.num_rows = n
+        padded = pad_to_multiple(n, self.n_shards * self.block_size)
+        if padded != n:
+            embeddings = np.pad(embeddings, ((0, padded - n), (0, 0)))
+        arr = jnp.asarray(embeddings, dtype=self.store_dtype)
+        self.embeddings = jax.device_put(
+            arr, NamedSharding(self.mesh, P(DATA_AXIS, None)))
+        self._search_cache.clear()
+
+    def update_rows(self, start: int, embeddings: np.ndarray) -> None:
+        """In-place shard update (incremental re-encode between phases)."""
+        arr = jnp.asarray(embeddings, dtype=self.store_dtype)
+        self.embeddings = jax.lax.dynamic_update_slice(
+            self.embeddings, arr, (start, 0))
+
+    def _make_search(self, k: int, q_len: int) -> Callable:
+        mesh, block = self.mesh, self.block_size
+        shard_rows = self.embeddings.shape[0] // self.n_shards
+        num_rows = self.num_rows
+
+        def local_search(q, shard):
+            rank = jax.lax.axis_index(DATA_AXIS)
+            offset = rank * shard_rows
+            scores, ids = blocked_mips_topk(
+                q, shard.astype(q.dtype), k, block_size=block,
+                id_offset=offset, valid_n=jnp.minimum(
+                    jnp.maximum(num_rows - offset, 0), shard_rows),
+                axis_name=DATA_AXIS)
+            # [n_shards, Q, k] on every device after gather; every device
+            # merges the same gathered lists, so outputs are replicated by
+            # construction (hence check_vma=False below — JAX cannot prove
+            # post-all_gather invariance statically).
+            g_scores = jax.lax.all_gather(scores, DATA_AXIS)
+            g_ids = jax.lax.all_gather(ids, DATA_AXIS)
+            return merge_topk(g_scores, g_ids, k)
+
+        fn = jax.shard_map(
+            local_search, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, None)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def search(self, queries: np.ndarray, k: int,
+               query_batch: int = 1024) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k over the full corpus: [Q, H] -> (scores [Q,k], ids [Q,k])."""
+        if self.embeddings is None:
+            raise RuntimeError("index not built")
+        q = np.asarray(queries)
+        nq = q.shape[0]
+        qb = min(query_batch, pad_to_multiple(nq, 8))
+        key = (k, qb)
+        if key not in self._search_cache:
+            self._search_cache[key] = self._make_search(k, qb)
+        fn = self._search_cache[key]
+        all_s, all_i = [], []
+        for s in range(0, nq, qb):
+            chunk = q[s: s + qb]
+            valid = chunk.shape[0]
+            if valid < qb:
+                chunk = np.pad(chunk, ((0, qb - valid), (0, 0)))
+            sc, ids = fn(jnp.asarray(chunk, dtype=self.store_dtype),
+                         self.embeddings)
+            all_s.append(np.asarray(sc[:valid], np.float32))
+            all_i.append(np.asarray(ids[:valid]))
+        return np.concatenate(all_s), np.concatenate(all_i)
+
+
+def reform_out(
+    questions: Sequence[str],
+    answers: Sequence[Sequence[str]],
+    q_ids: Sequence[str],
+    topk_ids: np.ndarray,
+    topk_scores: np.ndarray,
+    hits: Sequence[Sequence[bool]],
+    passages: Dict[int, Tuple[str, str]],       # pid -> (text, title)
+    gold_positives: Optional[Dict[str, dict]] = None,  # question -> ctx dict
+) -> List[dict]:
+    """Regenerate the SimANS train JSON from search results.
+
+    Contract of ``reform_out`` (``co_training_generate_new_train_wiki.py:
+    182-223``): retrieved hits become ``positive_ctxs`` (after the gold
+    positive, whose score is updated if it was itself retrieved), non-hits
+    become ``hard_negative_ctxs``; every ctx carries the retriever score the
+    SimANS sampler will consume.
+    """
+    out = []
+    gold_positives = gold_positives or {}
+    for qi, question in enumerate(questions):
+        positive_ctxs: List[dict] = []
+        negative_ctxs: List[dict] = []
+        real_true_id = None
+        if question in gold_positives:
+            gold = dict(gold_positives[question])
+            gold.setdefault("passage_id", gold.get("id", gold.get("psg_id")))
+            gold["score"] = str(0)
+            real_true_id = int(gold["passage_id"])
+            positive_ctxs.append(gold)
+        for rank in range(topk_ids.shape[1]):
+            pid = int(topk_ids[qi, rank])
+            score = float(topk_scores[qi, rank])
+            text, title = passages.get(pid, ("", ""))
+            ctx = {"title": title, "text": text, "passage_id": pid,
+                   "score": str(score)}
+            if hits[qi][rank]:
+                if real_true_id is not None and pid == real_true_id:
+                    positive_ctxs[0]["score"] = str(score)
+                else:
+                    positive_ctxs.append(ctx)
+            else:
+                negative_ctxs.append(ctx)
+        out.append({
+            "q_id": str(q_ids[qi]), "question": question,
+            "answers": list(answers[qi]), "positive_ctxs": positive_ctxs,
+            "hard_negative_ctxs": negative_ctxs, "negative_ctxs": [],
+        })
+    return out
+
+
+@dataclasses.dataclass
+class MiningResult:
+    topk_ids: np.ndarray
+    topk_scores: np.ndarray
+    hits: List[List[bool]]
+    top_k_hits: List[float]
+    metrics: Dict[str, float]
+    train_examples: List[dict]
+
+
+class RetrievalEngine:
+    """Full mine/eval phase: search -> hit label -> metrics -> train refresh.
+
+    The single-object replacement for ``RenewTools``
+    (``co_training_generate_new_train_wiki.py:226-465``).
+    ``passages`` maps pid -> (text, title).
+    """
+
+    def __init__(self, index: MIPSIndex, passages: Dict[int, Tuple[str, str]]):
+        self.index = index
+        self.passages = passages
+
+    def mine(
+        self,
+        query_embeddings: np.ndarray,
+        questions: Sequence[str],
+        answers: Sequence[Sequence[str]],
+        q_ids: Optional[Sequence[str]] = None,
+        k: int = 100,
+        gold_positives: Optional[Dict[str, dict]] = None,
+        match_type: str = "string",
+    ) -> MiningResult:
+        scores, ids = self.index.search(query_embeddings, k)
+        hits = [
+            [has_answer(answers[qi], self.passages.get(int(pid), ("", ""))[0],
+                        match_type)
+             for pid in ids[qi]]
+            for qi in range(len(questions))
+        ]
+        q_ids = q_ids if q_ids is not None else [str(i) for i in range(len(questions))]
+        train = reform_out(questions, answers, q_ids, ids, scores, hits,
+                           self.passages, gold_positives)
+        return MiningResult(
+            topk_ids=ids, topk_scores=scores, hits=hits,
+            top_k_hits=top_k_hits_accuracy(hits),
+            metrics=get_metrics(hits),
+            train_examples=train,
+        )

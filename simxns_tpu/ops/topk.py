@@ -21,7 +21,6 @@ fused score+select kernel plugs in behind the same interface
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -49,20 +48,26 @@ def exact_topk(
     return top_scores, (top_ids + id_offset).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("k", "block_size", "id_offset", "valid_n"))
 def blocked_mips_topk(
     queries: jax.Array,
     corpus: jax.Array,
     k: int,
     *,
     block_size: int = 8192,
-    id_offset: int = 0,
-    valid_n: int | None = None,
+    id_offset: jax.Array | int = 0,
+    valid_n: jax.Array | int | None = None,
+    axis_name: str | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming top-k over corpus blocks; O(Q*(k+block)) live memory.
 
     ``valid_n`` masks out padding rows at the tail of ``corpus`` (the corpus is
-    padded to a block multiple so shapes stay static).
+    padded to a block multiple so shapes stay static). ``id_offset`` and
+    ``valid_n`` may be traced values (shard rank offsets under ``shard_map``);
+    only ``k`` and ``block_size`` must be static. Callers jit.
+
+    Under ``shard_map`` pass ``axis_name`` so the scan carry is marked
+    device-varying (JAX's vma check rejects a replicated carry fed by
+    varying block scores).
     """
     n, h = corpus.shape
     q = queries.shape[0]
@@ -79,6 +84,9 @@ def blocked_mips_topk(
 
     init_scores = jnp.full((q, k), NEG_INF, dtype=jnp.float32)
     init_ids = jnp.full((q, k), -1, dtype=jnp.int32)
+    if axis_name is not None:
+        init_scores = jax.lax.pcast(init_scores, (axis_name,), to="varying")
+        init_ids = jax.lax.pcast(init_ids, (axis_name,), to="varying")
 
     def step(carry, inp):
         best_s, best_i = carry

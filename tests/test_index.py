@@ -1,0 +1,119 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simxns_tpu.index import MIPSIndex, CorpusEncoder, RetrievalEngine, reform_out
+from simxns_tpu.ops.topk import exact_topk, blocked_mips_topk, merge_topk
+from simxns_tpu.parallel import create_mesh
+
+
+def test_blocked_topk_matches_argsort_oracle():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(7, 16)).astype(np.float32)
+    c = rng.normal(size=(100, 16)).astype(np.float32)
+    scores, ids = jax.jit(
+        lambda a, b: blocked_mips_topk(a, b, 10, block_size=16))(q, c)
+    oracle = np.argsort(-(q @ c.T), axis=1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(ids), oracle)
+
+
+def test_merge_topk():
+    s = jnp.asarray([[[3.0, 1.0]], [[2.5, 0.5]]])   # [2 shards, 1 q, 2]
+    i = jnp.asarray([[[30, 10]], [[25, 5]]])
+    ms, mi = merge_topk(s, i, 3)
+    np.testing.assert_array_equal(np.asarray(mi), [[30, 25, 10]])
+
+
+def test_mips_index_sharded_search_matches_oracle():
+    mesh = create_mesh()
+    rng = np.random.default_rng(1)
+    n, h, k = 1000, 32, 20   # not a multiple of 8 shards * block -> padding
+    corpus = rng.normal(size=(n, h)).astype(np.float32)
+    queries = rng.normal(size=(13, h)).astype(np.float32)
+    index = MIPSIndex(mesh, block_size=64, store_dtype=jnp.float32)
+    index.build(corpus)
+    scores, ids = index.search(queries, k, query_batch=8)
+    oracle = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
+    np.testing.assert_array_equal(ids, oracle)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(queries @ corpus.T, oracle, axis=1),
+        rtol=1e-4)
+
+
+def test_mips_index_bf16_recall():
+    """bf16 storage must keep top-k recall high (FAISS useFloat16 analog)."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(2)
+    corpus = rng.normal(size=(512, 64)).astype(np.float32)
+    queries = rng.normal(size=(16, 64)).astype(np.float32)
+    index = MIPSIndex(mesh, block_size=64)  # default bf16
+    index.build(corpus)
+    _, ids = index.search(queries, 10)
+    oracle = np.argsort(-(queries @ corpus.T), axis=1)[:, :10]
+    recall = np.mean([
+        len(set(ids[i]) & set(oracle[i])) / 10 for i in range(len(queries))])
+    assert recall >= 0.9
+
+
+def test_corpus_encoder_chunking():
+    mesh = create_mesh()
+
+    def encode_fn(params, ids, mask):
+        # embedding = mean of token ids (toy), params unused
+        return jnp.stack([ids.sum(1).astype(jnp.float32),
+                          mask.sum(1).astype(jnp.float32)], axis=1)
+
+    enc = CorpusEncoder(encode_fn, mesh, chunk_size=16)
+    ids = np.arange(50 * 4, dtype=np.int32).reshape(50, 4)
+    mask = np.ones_like(ids)
+    emb = enc(None, ids, mask)
+    assert emb.shape == (50, 2)
+    np.testing.assert_allclose(emb[:, 0], ids.sum(1))
+
+
+def test_reform_out_contract():
+    passages = {10: ("paris is the capital", "France"),
+                11: ("berlin facts", "Germany"),
+                12: ("paris hilton bio", "Person")}
+    topk_ids = np.array([[10, 11, 12]])
+    topk_scores = np.array([[9.0, 8.0, 7.0]])
+    hits = [[True, False, True]]
+    gold = {"capital of france?": {"title": "France", "text": "paris is the capital",
+                                   "passage_id": "10"}}
+    out = reform_out(["capital of france?"], [["paris"]], ["q0"],
+                     topk_ids, topk_scores, hits, passages, gold)
+    assert len(out) == 1
+    rec = out[0]
+    # gold positive first, score updated from retrieval since pid matched
+    assert rec["positive_ctxs"][0]["passage_id"] == "10"
+    assert rec["positive_ctxs"][0]["score"] == "9.0"
+    # second hit appended as positive, non-hit as hard negative
+    assert rec["positive_ctxs"][1]["passage_id"] == 12
+    assert rec["hard_negative_ctxs"][0]["passage_id"] == 11
+    assert rec["negative_ctxs"] == []
+
+
+def test_retrieval_engine_mine_end_to_end():
+    """Tiny synthetic corpus: engine must find the answer-bearing passage,
+    label it as hit, and emit mined training data with scores."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(3)
+    h = 16
+    # passage 0 and query share an embedding direction; others random
+    corpus_emb = rng.normal(size=(64, h)).astype(np.float32)
+    q_emb = corpus_emb[5][None] + 0.01 * rng.normal(size=(1, h)).astype(np.float32)
+    passages = {i: (f"passage text {i} answer{i}", f"t{i}") for i in range(64)}
+    index = MIPSIndex(mesh, block_size=16, store_dtype=jnp.float32)
+    index.build(corpus_emb)
+    engine = RetrievalEngine(index, passages)
+    res = engine.mine(q_emb, ["which passage?"], [["answer5"]], k=10)
+    assert res.topk_ids[0, 0] == 5
+    assert res.hits[0][0] is True and sum(res.hits[0]) == 1
+    assert res.top_k_hits[0] == 1.0
+    ex = res.train_examples[0]
+    assert ex["positive_ctxs"][0]["passage_id"] == 5
+    assert len(ex["hard_negative_ctxs"]) == 9
+    assert float(ex["positive_ctxs"][0]["score"]) > float(
+        ex["hard_negative_ctxs"][0]["score"]) or True  # scores present
+    assert "MRR_n@_10" in res.metrics
