@@ -1,0 +1,65 @@
+"""Metric logging: JSON-lines + optional TensorBoard.
+
+The reference logs scalars to TensorBoard on rank 0 and appends to
+``output_dir/log.txt`` (``co_training_wiki_train.py:276-292,665-678``).
+Here: a single :class:`MetricLogger` writing JSON-lines (machine-readable,
+diffable against the reference's published ``log.txt`` regressions) and, if
+TensorBoard is importable, mirroring scalars there. Includes the wall-clock
+phase timers the reference lacks (SURVEY.md §5.1) — the 2x end-to-end claim
+needs per-phase timing built in.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from contextlib import contextmanager
+from typing import Dict, Optional
+
+logger = logging.getLogger("simxns_tpu")
+
+
+class MetricLogger:
+    def __init__(self, output_dir: Optional[str] = None,
+                 tensorboard: bool = False):
+        self.output_dir = output_dir
+        self._fh = None
+        self._tb = None
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            self._fh = open(os.path.join(output_dir, "metrics.jsonl"), "a")
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=output_dir)
+            except Exception:
+                logger.warning("tensorboard unavailable; JSON-lines only")
+        self.phase_times: Dict[str, float] = {}
+
+    def log(self, step: int, scalars: Dict[str, float], phase: str = "train"):
+        rec = {"step": step, "phase": phase, "time": time.time(), **scalars}
+        if self._fh:
+            self._fh.write(json.dumps(rec) + "\n")
+            self._fh.flush()
+        if self._tb:
+            for k, v in scalars.items():
+                self._tb.add_scalar(f"{phase}/{k}", v, step)
+        logger.info("%s", rec)
+
+    @contextmanager
+    def timed(self, phase: str):
+        """Wall-clock phase timer (train window / corpus encode / search)."""
+        t0 = time.time()
+        yield
+        dt = time.time() - t0
+        self.phase_times[phase] = self.phase_times.get(phase, 0.0) + dt
+        self.log(0, {"seconds": dt}, phase=f"timer/{phase}")
+
+    def close(self):
+        if self._fh:
+            self._fh.close()
+        if self._tb:
+            self._tb.close()

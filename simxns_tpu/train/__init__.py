@@ -1,0 +1,11 @@
+from simxns_tpu.train.state import TrainState
+from simxns_tpu.train.optim import make_adamw, linear_warmup_schedule, make_lamb
+from simxns_tpu.train.steps import (
+    make_biencoder_step, make_reranker_step, make_ar2_retriever_step)
+from simxns_tpu.train.driver import AR2Config, AR2CoTrainer
+
+__all__ = [
+    "TrainState", "make_adamw", "linear_warmup_schedule", "make_lamb",
+    "make_biencoder_step", "make_reranker_step", "make_ar2_retriever_step",
+    "AR2Config", "AR2CoTrainer",
+]

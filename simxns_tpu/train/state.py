@@ -1,0 +1,40 @@
+"""Training state pytree.
+
+The JAX analog of the reference's ``CheckpointState = (model_dict,
+optimizer_dict, scheduler_dict, offset, epoch, encoder_params)``
+(``SimANS/utils/dpr_utils.py:20-24``): params + optax state + step in one
+pytree. Scheduler state is implicit (optax schedules are functions of
+``step``), so resume-by-step works exactly as the reference's outer loop
+expects (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        import jax.numpy as jnp
+
+        return cls(params=params, opt_state=tx.init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+    def apply_gradients(self, grads, tx: optax.GradientTransformation
+                        ) -> "TrainState":
+        updates, new_opt = tx.update(grads, self.opt_state, self.params)
+        return TrainState(
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+            step=self.step + 1,
+        )

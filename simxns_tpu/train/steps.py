@@ -1,0 +1,176 @@
+"""Jitted training-step factories.
+
+One factory per training mode the reference implements with six separate
+script families (SURVEY.md §7.1 item 7). Each returns
+``step(state, batch) -> (state, metrics)`` compiled once over the mesh —
+batch dims sharded over ``data``, params replicated; XLA inserts the ICI
+collectives (grad psum, context all-gathers) from the shardings.
+
+- :func:`make_biencoder_step` — in-batch-negative contrastive training
+  (``train_DE_model_marco.py:224-292``). ``grad_mode='full'`` computes the
+  global softmax directly (one program, true global gradient);
+  ``grad_mode='local'`` reproduces the reference's detach-remote contract
+  via ``shard_map`` (SURVEY.md §2.8).
+- :func:`make_reranker_step` — grouped CE over (1 pos + n negs)
+  (``co_training_wiki_train.py:236-256``).
+- :func:`make_ar2_retriever_step` — AR2 KL-to-reranker + adversarial reward
+  (``co_training_wiki_train.py:194-235``). The adv term is a per-device sum
+  whose gradients DDP *averages* in the reference; here it's divided by the
+  data-parallel size so the update matches the 8-GPU recipe on any mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from simxns_tpu.losses.contrastive import grouped_nll, in_batch_nll
+from simxns_tpu.losses.distill import ar2_retriever_loss
+from simxns_tpu.parallel.collectives import (
+    all_gather_local_grad, gather_positive_offsets)
+from simxns_tpu.parallel.mesh import DATA_AXIS
+
+Batch = dict
+
+
+def _jit_step(fn, mesh, state_like=None):
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(fn, in_shardings=(repl, shard), out_shardings=(repl, repl),
+                   donate_argnums=(0,))
+
+
+def make_biencoder_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh,
+    grad_mode: str = "full",
+    score_scale: float = 1.0,
+) -> Callable:
+    """In-batch contrastive step. Batch keys: q_ids/q_mask [N,Lq],
+    ctx_ids/ctx_mask [N*M,Lc], positive_idx [N] (global flat index)."""
+
+    n_data = mesh.shape[DATA_AXIS]
+
+    def loss_full(params, batch):
+        q_emb, ctx_emb = model.apply(
+            params, batch["q_ids"], batch["q_mask"],
+            batch["ctx_ids"], batch["ctx_mask"], deterministic=True)
+        loss, correct = in_batch_nll(q_emb, ctx_emb, batch["positive_idx"],
+                                     score_scale=score_scale)
+        return loss, {"correct": correct}
+
+    def loss_local(params, batch):
+        # Reference gradient contract: softmax over gathered (global)
+        # contexts, grads through local shard only.
+        def shard_fn(q_ids, q_mask, ctx_ids, ctx_mask, pos_idx):
+            q_emb, ctx_emb = model.apply(params, q_ids, q_mask,
+                                         ctx_ids, ctx_mask, deterministic=True)
+            g_ctx = all_gather_local_grad(ctx_emb, DATA_AXIS)
+            # batch["positive_idx"] is already a *global* flat index and the
+            # gathered ctx matrix is in global device-major order, so no
+            # rank offset is needed here.
+            loss, correct = in_batch_nll(q_emb, g_ctx, pos_idx,
+                                         score_scale=score_scale,
+                                         reduction="sum")
+            n_global = q_ids.shape[0] * jax.lax.psum(1, DATA_AXIS)
+            return (jax.lax.psum(loss, DATA_AXIS) / n_global,
+                    jax.lax.psum(correct, DATA_AXIS))
+
+        loss, correct = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(DATA_AXIS),) * 5, out_specs=(P(), P()),
+        )(batch["q_ids"], batch["q_mask"], batch["ctx_ids"],
+          batch["ctx_mask"], batch["positive_idx"])
+        return loss, {"correct": correct}
+
+    loss_fn = loss_full if grad_mode == "full" else loss_local
+
+    def step(state, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        new_state = state.apply_gradients(grads, tx)
+        return new_state, {"loss": loss, **aux}
+
+    return _jit_step(step, mesh)
+
+
+def make_reranker_step(ce_model, tx: optax.GradientTransformation, mesh,
+                       group_size: int) -> Callable:
+    """Cross-encoder CE step. Batch keys: joint_ids/joint_mask [N, M, Lj];
+    positive at column 0 (reference target tensor of zeros)."""
+
+    def loss_fn(params, batch):
+        n, m, lj = batch["joint_ids"].shape
+        out = ce_model.apply(params, batch["joint_ids"].reshape(n * m, lj),
+                             batch["joint_mask"].reshape(n * m, lj),
+                             group_size=m, deterministic=True)
+        logits = out["logits"]
+        loss = grouped_nll(logits)
+        correct = jnp.sum((jnp.argmax(logits, axis=1) == 0).astype(jnp.int32))
+        return loss, {"correct": correct}
+
+    def step(state, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        new_state = state.apply_gradients(grads, tx)
+        return new_state, {"loss": loss, **aux}
+
+    return _jit_step(step, mesh)
+
+
+def make_ar2_retriever_step(
+    de_model,
+    ce_model,
+    tx: optax.GradientTransformation,
+    mesh,
+    temperature: float = 1.0,
+    adv_lambda: float = 0.5,
+    scale_scores: Optional[float] = None,
+) -> Callable:
+    """AR2 retriever step: KL to frozen reranker + adversarial reward.
+
+    ``step(de_state, ce_params, batch)``; batch needs retriever inputs
+    (q/ctx) AND the joint reranker inputs for the frozen teacher forward.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+
+    def loss_fn(params, ce_params, batch):
+        n, m, lj = batch["joint_ids"].shape
+        q_emb, ctx_emb = de_model.apply(
+            params, batch["q_ids"], batch["q_mask"],
+            batch["ctx_ids"], batch["ctx_mask"], deterministic=True)
+        groups = ctx_emb.reshape(n, m, -1)
+        scores = jnp.einsum("bh,bmh->bm", q_emb, groups,
+                            preferred_element_type=jnp.float32)
+
+        ce_out = ce_model.apply(ce_params, batch["joint_ids"].reshape(n * m, lj),
+                                batch["joint_mask"].reshape(n * m, lj),
+                                group_size=m, deterministic=True)
+        reranker_logits = jax.lax.stop_gradient(ce_out["logits"])
+
+        loss, aux = ar2_retriever_loss(
+            scores, reranker_logits, temperature=temperature,
+            adv_lambda=adv_lambda, scale_scores=scale_scores)
+        # Reference: per-device adv sum, DDP-averaged grads -> divide the
+        # global-sum formulation by the data-parallel size.
+        if adv_lambda != 0.0:
+            loss = (adv_lambda * aux["adv_loss"] / n_data
+                    + (1.0 - adv_lambda) * aux["normal_loss"])
+        return loss, aux
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+
+    def step(de_state, ce_params, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            de_state.params, ce_params, batch)
+        new_state = de_state.apply_gradients(grads, tx)
+        return new_state, {"loss": loss, **aux}
+
+    return jax.jit(step, in_shardings=(repl, repl, shard),
+                   out_shardings=(repl, repl), donate_argnums=(0,))

@@ -1,0 +1,111 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from simxns_tpu.losses import in_batch_nll, grouped_nll
+from simxns_tpu.losses.distill import (
+    ar2_retriever_loss, kd_softmax_loss, kd_logit_mse_loss, dkd_loss,
+    embedding_mse_loss, mixed_kd_loss, EPS)
+
+
+def _softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def test_in_batch_nll_oracle():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(3, 4)).astype(np.float32)
+    c = rng.normal(size=(6, 4)).astype(np.float32)
+    pos = np.array([0, 2, 4])
+    loss, correct = in_batch_nll(q, c, pos)
+    scores = q @ c.T
+    want = -np.log(_softmax(scores, 1)[np.arange(3), pos]).mean()
+    np.testing.assert_allclose(float(loss), want, rtol=1e-6)
+    want_correct = (scores.argmax(1) == pos).sum()
+    assert int(correct) == want_correct
+
+
+def test_in_batch_nll_score_scale():
+    """The x20 variant (BiEncoderNllLoss_daya, models.py:531)."""
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(2, 4)).astype(np.float32)
+    c = rng.normal(size=(4, 4)).astype(np.float32)
+    pos = np.array([0, 1])
+    loss, _ = in_batch_nll(q, c, pos, score_scale=20.0)
+    want = -np.log(_softmax(20 * (q @ c.T), 1)[[0, 1], pos]).mean()
+    np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+
+
+def test_grouped_nll_oracle():
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(4, 8)).astype(np.float32)
+    want = -np.log(_softmax(logits, 1)[:, 0]).mean()
+    np.testing.assert_allclose(float(grouped_nll(logits)), want, rtol=1e-6)
+
+
+def test_ar2_loss_reference_oracle():
+    """Literal transcription of co_training_wiki_train.py:194-227 in numpy."""
+    rng = np.random.default_rng(3)
+    B, M = 4, 6
+    retriever_scores = rng.normal(size=(B, M)).astype(np.float32)
+    reranker_logits = rng.normal(size=(B, M)).astype(np.float32)
+    T, lam = 2.0, 0.5
+
+    p_de = _softmax(retriever_scores, 1)
+    p_ce = _softmax(reranker_logits / T, 1)
+    normal = -(p_ce * np.log(p_de + EPS)).sum() / B
+    pos = reranker_logits[:, :1]
+    pair = np.stack([np.broadcast_to(pos, reranker_logits.shape),
+                     reranker_logits], -1)
+    reward = np.log(_softmax(pair, -1)[..., 0] + EPS)
+    adv = (reward * np.log(p_de + EPS)).sum()
+    want = lam * adv + (1 - lam) * normal
+
+    loss, aux = ar2_retriever_loss(retriever_scores, reranker_logits,
+                                   temperature=T, adv_lambda=lam)
+    np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+    np.testing.assert_allclose(float(aux["normal_loss"]), normal, rtol=1e-5)
+    np.testing.assert_allclose(float(aux["adv_loss"]), adv, rtol=1e-5)
+
+
+def test_ar2_no_grad_through_teacher():
+    def f(logits):
+        loss, _ = ar2_retriever_loss(jnp.ones((2, 3)), logits)
+        return loss
+    g = jax.grad(f)(jnp.ones((2, 3)))
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_kd_softmax_properties():
+    t = jnp.asarray(np.random.default_rng(4).normal(size=(5, 7)), jnp.float32)
+    assert float(kd_softmax_loss(t, t, temperature=2.0)) < 1e-6
+    s = t + 1.0  # constant logit shift -> same softmax -> zero KL
+    assert float(kd_softmax_loss(s, t)) < 1e-6
+    s2 = t.at[:, 0].add(3.0)
+    assert float(kd_softmax_loss(s2, t)) > 0.01
+    # T^2 scaling: KL at T vs T scales correctly for small diffs
+    l1 = float(kd_softmax_loss(s2, t, temperature=1.0))
+    l4 = float(kd_softmax_loss(s2, t, temperature=4.0))
+    assert l1 > l4  # higher T softens distributions -> smaller scaled KL here
+
+
+def test_kd_logit_and_embedding_mse():
+    a = jnp.ones((2, 3))
+    b = jnp.zeros((2, 3))
+    assert float(kd_logit_mse_loss(a, b)) == 1.0
+    assert float(embedding_mse_loss(a, b)) == 1.0
+    assert float(mixed_kd_loss(jnp.asarray(2.0), jnp.asarray(3.0), 0.5, 0.5)) == 2.5
+
+
+def test_dkd_components():
+    rng = np.random.default_rng(5)
+    t = jnp.asarray(rng.normal(size=(4, 6)), jnp.float32)
+    tgt = jnp.zeros(4, jnp.int32)
+    # identical student: both components zero
+    assert float(dkd_loss(t, t, tgt)) < 1e-5
+    s = t + jnp.asarray(rng.normal(size=(4, 6)), jnp.float32)
+    assert float(dkd_loss(s, t, tgt)) > 0.0
+    # no gradient into teacher
+    g = jax.grad(lambda tt: dkd_loss(s, tt, tgt))(t)
+    np.testing.assert_allclose(np.asarray(g), 0.0)

@@ -1,0 +1,209 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simxns_tpu.models import (
+    BiEncoder, BiEncoderConfig, BertConfig, CrossEncoder, CrossEncoderConfig)
+from simxns_tpu.parallel import create_mesh, shard_batch
+from simxns_tpu.train import (
+    TrainState, make_adamw, linear_warmup_schedule,
+    make_biencoder_step, make_reranker_step, make_ar2_retriever_step,
+    AR2Config, AR2CoTrainer)
+from simxns_tpu.io import (save_checkpoint, restore_checkpoint, latest_step,
+                           export_encoder_only)
+
+CFG = BertConfig.tiny(vocab_size=512)
+
+
+def _de_batch(rng, n=16, m=3, lq=8, lc=12):
+    q = rng.integers(4, 512, size=(n, lq)).astype(np.int32)
+    ctx = rng.integers(4, 512, size=(n * m, lc)).astype(np.int32)
+    # make positives correlated with queries: share first tokens
+    for i in range(n):
+        ctx[i * m, :4] = q[i, :4]
+    return {
+        "q_ids": q, "q_mask": np.ones_like(q),
+        "ctx_ids": ctx, "ctx_mask": np.ones_like(ctx),
+        "positive_idx": (np.arange(n) * m).astype(np.int32),
+        "joint_ids": rng.integers(4, 512, size=(n, m, 16)).astype(np.int32),
+        "joint_mask": np.ones((n, m, 16), np.int32),
+    }
+
+
+def test_linear_schedule():
+    sch = linear_warmup_schedule(1.0, 10, 110)
+    assert float(sch(0)) == 0.0
+    assert abs(float(sch(5)) - 0.5) < 1e-6
+    assert abs(float(sch(10)) - 1.0) < 1e-6
+    assert abs(float(sch(60)) - 0.5) < 1e-6
+    assert float(sch(110)) == 0.0
+
+
+def test_adamw_decay_mask():
+    from simxns_tpu.train.optim import _decay_mask
+    params = {"layer_0": {"attention": {"query": {"kernel": np.ones(2),
+                                                  "bias": np.ones(2)},
+                                        "output_layer_norm": {"scale": np.ones(2),
+                                                              "bias": np.ones(2)}}}}
+    mask = _decay_mask(params)
+    leaf = mask["layer_0"]["attention"]
+    assert leaf["query"]["kernel"] is True
+    assert leaf["query"]["bias"] is False
+    assert leaf["output_layer_norm"]["scale"] is False
+
+
+@pytest.mark.parametrize("grad_mode", ["full", "local"])
+def test_biencoder_step_trains(grad_mode):
+    mesh = create_mesh()
+    rng = np.random.default_rng(0)
+    model = BiEncoder(BiEncoderConfig(bert=CFG))
+    batch = _de_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch["q_ids"][:2],
+                        batch["q_mask"][:2], batch["ctx_ids"][:2],
+                        batch["ctx_mask"][:2])
+    tx = make_adamw(2e-3, warmup_steps=0, total_steps=0, max_grad_norm=1.0)
+    state = TrainState.create(params, tx)
+    step = make_biencoder_step(model, tx, mesh, grad_mode=grad_mode)
+    dev = shard_batch({k: v for k, v in batch.items()
+                       if k not in ("joint_ids", "joint_mask")}, mesh)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, dev)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_grad_modes_agree_on_loss_value():
+    """full and local modes share the forward value (only grads differ)."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(1)
+    model = BiEncoder(BiEncoderConfig(bert=CFG))
+    batch = _de_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch["q_ids"][:2],
+                        batch["q_mask"][:2], batch["ctx_ids"][:2],
+                        batch["ctx_mask"][:2])
+    tx = make_adamw(0.0, total_steps=0)
+    # build both states up front: steps donate their state arg, so params
+    # must not be re-wrapped after a step has consumed them
+    state = TrainState.create(params, tx)
+    state2 = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    dev = shard_batch({k: v for k, v in batch.items()
+                       if k not in ("joint_ids", "joint_mask")}, mesh)
+    _, m_full = make_biencoder_step(model, tx, mesh, "full")(state, dev)
+    _, m_local = make_biencoder_step(model, tx, mesh, "local")(state2, dev)
+    np.testing.assert_allclose(float(m_full["loss"]), float(m_local["loss"]),
+                               rtol=1e-5)
+    assert int(m_full["correct"]) == int(m_local["correct"])
+
+
+def test_reranker_step_trains():
+    mesh = create_mesh()
+    rng = np.random.default_rng(2)
+    ce = CrossEncoder(CrossEncoderConfig(bert=CFG))
+    batch = _de_batch(rng)
+    n, m, lj = batch["joint_ids"].shape
+    # plant signal: positive joints share a marker token
+    batch["joint_ids"][:, 0, 5] = 9
+    params = ce.init(jax.random.PRNGKey(0),
+                     batch["joint_ids"].reshape(n * m, lj)[:2],
+                     batch["joint_mask"].reshape(n * m, lj)[:2])
+    tx = make_adamw(2e-3, total_steps=0)
+    state = TrainState.create(params, tx)
+    step = make_reranker_step(ce, tx, mesh, group_size=m)
+    dev = shard_batch({"joint_ids": batch["joint_ids"],
+                       "joint_mask": batch["joint_mask"]}, mesh)
+    losses = []
+    for _ in range(10):
+        state, metrics = step(state, dev)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(metrics["correct"]) >= 12  # most groups solved
+
+
+def test_ar2_retriever_step_runs_and_improves_kl():
+    mesh = create_mesh()
+    rng = np.random.default_rng(3)
+    de = BiEncoder(BiEncoderConfig(bert=CFG))
+    ce = CrossEncoder(CrossEncoderConfig(bert=CFG))
+    batch = _de_batch(rng)
+    n, m, lj = batch["joint_ids"].shape
+    de_params = de.init(jax.random.PRNGKey(0), batch["q_ids"][:2],
+                        batch["q_mask"][:2], batch["ctx_ids"][:2],
+                        batch["ctx_mask"][:2])
+    ce_params = ce.init(jax.random.PRNGKey(1),
+                        batch["joint_ids"].reshape(n * m, lj)[:2],
+                        batch["joint_mask"].reshape(n * m, lj)[:2])
+    tx = make_adamw(2e-3, total_steps=0)
+    de_state = TrainState.create(de_params, tx)
+    step = make_ar2_retriever_step(de, ce, tx, mesh, temperature=1.0,
+                                   adv_lambda=0.0)
+    dev = shard_batch(batch, mesh)
+    normals = []
+    for _ in range(8):
+        de_state, metrics = step(de_state, ce_params, dev)
+        normals.append(float(metrics["normal_loss"]))
+    assert normals[-1] < normals[0]  # retriever matches reranker distribution
+
+
+class _FakeState:
+    def __init__(self):
+        self.params = None
+
+
+def test_ar2_flag_machine():
+    """Windows of iteration_step: steps 1..rr+1 reranker, rest retriever,
+    refresh at boundary (reference transitions :294-306 incl. == quirk)."""
+    modes = []
+    refreshes = []
+
+    class S:  # fake states
+        params = None
+
+    def rstep(state, ce_params, batch):
+        modes.append("retriever")
+        return state, {"loss": jnp.asarray(0.0)}
+
+    def cstep(state, batch):
+        modes.append("reranker")
+        return state, {"loss": jnp.asarray(0.0)}
+
+    def batches():
+        while True:
+            yield {"x": np.zeros((8, 2), np.int32)}
+
+    mesh = create_mesh()
+    cfg = AR2Config(iteration_step=10, iteration_reranker_step=3,
+                    max_steps=25, log_every=1000)
+    tr = AR2CoTrainer(mesh, cfg, S(), S(), rstep, cstep, batches,
+                      refresh_fn=lambda s, g: refreshes.append(g))
+    tr.run()
+    assert len(modes) == 25
+    # window 1: steps 1-4 reranker (r=0..3 <= 3), 5-10 retriever
+    assert modes[:4] == ["reranker"] * 4
+    assert modes[4:10] == ["retriever"] * 6
+    assert modes[10:14] == ["reranker"] * 4
+    assert refreshes == [10, 20]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tx = make_adamw(1e-3, total_steps=0)
+    params = {"dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros(4)}}
+    state = TrainState.create(params, tx)
+    state = state.apply_gradients(
+        {"dense": {"kernel": jnp.full((4, 4), 0.1), "bias": jnp.full(4, 0.1)}}, tx)
+    path = save_checkpoint(str(tmp_path), state, 42)
+    assert latest_step(str(tmp_path)) == 42
+    zero = TrainState.create(
+        {"dense": {"kernel": jnp.zeros((4, 4)), "bias": jnp.zeros(4)}}, tx)
+    restored = restore_checkpoint(str(tmp_path), zero, 42)
+    np.testing.assert_allclose(np.asarray(restored.params["dense"]["kernel"]),
+                               np.asarray(state.params["dense"]["kernel"]))
+    assert int(restored.step) == 1
+
+
+def test_export_encoder_only():
+    params = {"encoder": {"w": 1}, "c_head": {"w": 2}, "query_head": {"w": 3}}
+    out = export_encoder_only(params)
+    assert "encoder" in out and "c_head" not in out and "query_head" not in out
