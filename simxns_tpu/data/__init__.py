@@ -4,10 +4,13 @@ from simxns_tpu.data.tokenization import HashTokenizer, load_hf_tokenizer
 from simxns_tpu.data.datasets import (
     RetrievalExample, RetrievalDataset, RetrievalCollator,
     load_wiki_json, load_marco_tsv, load_qa_csv, load_passages_tsv)
+from simxns_tpu.data.division import (
+    divide_data, teacher_better_qids, first_relevant_rank)
 
 __all__ = [
     "simans_weights", "sample_hard_negatives", "select_negatives",
     "HashTokenizer", "load_hf_tokenizer",
     "RetrievalExample", "RetrievalDataset", "RetrievalCollator",
     "load_wiki_json", "load_marco_tsv", "load_qa_csv", "load_passages_tsv",
+    "divide_data", "teacher_better_qids", "first_relevant_rank",
 ]

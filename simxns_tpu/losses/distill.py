@@ -70,14 +70,47 @@ def kd_softmax_loss(student_logits: jax.Array, teacher_logits: jax.Array,
 
 def kd_logit_mse_loss(student_logits: jax.Array,
                       teacher_logits: jax.Array) -> jax.Array:
+    """``KD_logit``: 0.5 * MSE on logits (models.py:1056-1058)."""
     t = jax.lax.stop_gradient(teacher_logits.astype(jnp.float32))
-    return jnp.mean((student_logits.astype(jnp.float32) - t) ** 2)
+    return 0.5 * jnp.mean((student_logits.astype(jnp.float32) - t) ** 2)
 
 
 def embedding_mse_loss(student_emb: jax.Array, teacher_emb: jax.Array) -> jax.Array:
-    """``Bi_logit``: MSE directly on pooled embeddings (models.py:1061-1067)."""
+    """0.5 * MSE on pooled embeddings (one side of ``Bi_logit``)."""
     t = jax.lax.stop_gradient(teacher_emb.astype(jnp.float32))
-    return jnp.mean((student_emb.astype(jnp.float32) - t) ** 2)
+    return 0.5 * jnp.mean((student_emb.astype(jnp.float32) - t) ** 2)
+
+
+def bi_logit_loss(student_q: jax.Array, student_ctx: jax.Array,
+                  teacher_q: jax.Array, teacher_ctx: jax.Array) -> jax.Array:
+    """``Bi_logit``: 0.5*MSE(q) + 0.5*MSE(ctx) on embeddings
+    (models.py:1061-1067)."""
+    return (embedding_mse_loss(student_q, teacher_q)
+            + embedding_mse_loss(student_ctx, teacher_ctx))
+
+
+def prob_loss(student_logits: jax.Array, teacher_logits: jax.Array,
+              temperature: float = 1.0) -> jax.Array:
+    """``prob_loss``: -softmax(teacher/T) . log softmax(student), sum over
+    group, mean over batch; student is NOT temperature-scaled
+    (``CrossBERTKDLoss`` models.py:739-745)."""
+    t = jax.lax.stop_gradient(teacher_logits.astype(jnp.float32)) / temperature
+    p_t = jax.nn.softmax(t, axis=1)
+    p_s = jax.nn.softmax(student_logits.astype(jnp.float32), axis=1)
+    return -(p_t * jnp.log(p_s + EPS)).sum() / student_logits.shape[0]
+
+
+def colbert_teacher_scores(teacher_q_tokens: jax.Array,   # [Q, Sq, D]
+                           teacher_ctx_tokens: jax.Array, # [P, Sd, D]
+                           ctx_mask: jax.Array            # [P, Sd]
+                           ) -> jax.Array:
+    """ColBERT teacher score matrix for KD: full-cross MaxSim with masked doc
+    tokens at -9999 (``ColBERTKDLoss`` models.py:342-348)."""
+    s = jnp.einsum("qin,pjn->qipj", teacher_q_tokens, teacher_ctx_tokens,
+                   preferred_element_type=jnp.float32)
+    mask = ctx_mask[None, None, :, :] > 0
+    s = jnp.where(mask, s, -9999.0)
+    return jax.lax.stop_gradient(s.max(-1).sum(1))          # [Q, P]
 
 
 def dkd_loss(student_logits: jax.Array, teacher_logits: jax.Array,

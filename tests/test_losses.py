@@ -93,9 +93,37 @@ def test_kd_softmax_properties():
 def test_kd_logit_and_embedding_mse():
     a = jnp.ones((2, 3))
     b = jnp.zeros((2, 3))
-    assert float(kd_logit_mse_loss(a, b)) == 1.0
-    assert float(embedding_mse_loss(a, b)) == 1.0
+    # reference uses 0.5 * MSE for KD_logit / Bi_logit (models.py:1056-1067)
+    assert float(kd_logit_mse_loss(a, b)) == 0.5
+    assert float(embedding_mse_loss(a, b)) == 0.5
     assert float(mixed_kd_loss(jnp.asarray(2.0), jnp.asarray(3.0), 0.5, 0.5)) == 2.5
+
+
+def test_bi_logit_and_prob_loss():
+    from simxns_tpu.losses.distill import bi_logit_loss, prob_loss
+    a, b = jnp.ones((2, 3)), jnp.zeros((2, 3))
+    assert float(bi_logit_loss(a, a, b, b)) == 1.0
+    rng = np.random.default_rng(6)
+    s = jnp.asarray(rng.normal(size=(4, 5)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(4, 5)), jnp.float32)
+    p_t = _softmax(np.asarray(t) / 2.0, 1)
+    p_s = _softmax(np.asarray(s), 1)
+    want = float((-p_t * np.log(p_s + EPS)).sum() / 4)
+    np.testing.assert_allclose(float(prob_loss(s, t, 2.0)), want, rtol=1e-5)
+
+
+def test_colbert_teacher_scores():
+    from simxns_tpu.losses.distill import colbert_teacher_scores
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(2, 3, 4)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(5, 6, 4)), jnp.float32)
+    mask = jnp.ones((5, 6), jnp.int32).at[:, 4:].set(0)
+    scores = colbert_teacher_scores(q, d, mask)
+    assert scores.shape == (2, 5)
+    # oracle: masked tokens excluded from max
+    qn, dn = np.asarray(q), np.asarray(d)
+    want = sum(np.max(qn[0, i] @ dn[1, :4].T) for i in range(3))
+    np.testing.assert_allclose(float(scores[0, 1]), want, rtol=1e-5)
 
 
 def test_dkd_components():
