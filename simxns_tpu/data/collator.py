@@ -1,0 +1,260 @@
+"""MASTER multi-task masking collator.
+
+Host-side re-implementation of ``CondenserCollator``
+(``MASTER/pretrain/data.py:11-451``): from one pre-tokenized example
+``{"text": [ids], "queries": [[ids],...], "next": [[ids]]}`` it emits 8
+parallel (input_ids, labels[, mask]) streams:
+
+1. encoder MLM          — whole-word mask at ``mlm_probability``
+2. c_head decoder       — keyword-weighted whole-word mask at
+                          ``decoder_mlm_probability`` (word weight = 1/freq,
+                          ``data.py:171-219``)
+3. query decoder        — docT5 queries joined by [SEP], whole-word 50%
+4. gpt decoder          — GPT-2 continuation (or text if empty), 50%
+5. next encoder         — first half of text, whole-word ``mlm_probability``
+6. next decoder         — second half, keyword-weighted 50%
+7. overlap encoder      — one side of a 50/50 complementary word split
+8. overlap decoder      — the complement (``_whole_word_mask_dual``
+                          :104-136)
+
+Corruption follows HF ``torch_mask_tokens``: of masked positions 80% become
+[MASK], 10% a random token, 10% unchanged; labels are -100 everywhere else.
+Random truncation keeps a uniformly-placed window (``_truncate`` :221-236).
+
+This is the reference's CPU hot spot (SURVEY.md §7.4 item 5); the
+implementation is numpy-vectorized where the logic allows and kept
+dependency-free — a native (C++) packer can swap in behind the same
+interface if profiling demands it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+IGNORE_INDEX = -100
+
+
+@dataclasses.dataclass
+class TokenMeta:
+    """Tokenizer facts the collator needs (id-level only)."""
+    vocab_size: int
+    cls_id: int
+    sep_id: int
+    pad_id: int
+    mask_id: int
+    is_special: Callable[[int], bool]
+    is_continuation: Callable[[int], bool] = lambda tid: False
+    word_weight: Callable[[int], float] = lambda tid: 1.0   # 1/freq for keyword
+
+    @staticmethod
+    def for_hash_tokenizer(tok, mask_id: Optional[int] = None,
+                           frequency: Optional[Dict[int, float]] = None
+                           ) -> "TokenMeta":
+        specials = {tok.pad_token_id, tok.cls_token_id, tok.sep_token_id,
+                    tok.unk_token_id}
+        freq = frequency or {}
+        return TokenMeta(
+            vocab_size=tok.vocab_size, cls_id=tok.cls_token_id,
+            sep_id=tok.sep_token_id, pad_id=tok.pad_token_id,
+            mask_id=mask_id if mask_id is not None else tok.vocab_size - 1,
+            is_special=lambda tid: tid in specials,
+            word_weight=lambda tid: 1.0 / freq.get(tid, 1.0),
+        )
+
+
+@dataclasses.dataclass
+class CondenserCollator:
+    meta: TokenMeta
+    max_seq_length: int = 128
+    mlm_probability: float = 0.30
+    decoder_mlm_probability: float = 0.50
+    seed: int = 0
+
+    def __post_init__(self):
+        self.rng = np.random.default_rng(self.seed)
+
+    # --- word grouping ---------------------------------------------------
+    def _word_groups(self, ids: Sequence[int]) -> List[List[int]]:
+        groups: List[List[int]] = []
+        for i, tid in enumerate(ids):
+            if self.meta.is_special(tid):
+                continue
+            if groups and self.meta.is_continuation(tid):
+                groups[-1].append(i)
+            else:
+                groups.append([i])
+        return groups
+
+    def _mask_from_groups(self, n: int, groups: List[List[int]],
+                          num_to_predict: int) -> np.ndarray:
+        mask = np.zeros(n, np.int8)
+        taken = 0
+        for g in groups:
+            if taken >= num_to_predict:
+                break
+            if taken + len(g) > num_to_predict:
+                continue
+            mask[g] = 1
+            taken += len(g)
+        return mask
+
+    def whole_word_mask(self, ids: Sequence[int],
+                        probability: Optional[float] = None) -> np.ndarray:
+        """0/1 word-mask over ids (``_whole_word_mask`` data.py:71-102)."""
+        p = self.mlm_probability if probability is None else probability
+        groups = self._word_groups(ids)
+        self.rng.shuffle(groups)
+        num = min(512, max(1, int(round(len(ids) * p))))
+        return self._mask_from_groups(len(ids), groups, num)
+
+    def keyword_mask(self, ids: Sequence[int]) -> np.ndarray:
+        """Keyword-weighted decoder mask (``data.py:171-219``): words drawn
+        with probability proportional to 1/corpus-frequency."""
+        groups = self._word_groups(ids)
+        if not groups:
+            return np.zeros(len(ids), np.int8)
+        weights = np.array([self.meta.word_weight(ids[g[0]]) for g in groups],
+                           np.float64)
+        n_real = sum(1 for t in ids if not self.meta.is_special(t))
+        num = min(512, max(1, int(round(n_real * self.decoder_mlm_probability))))
+        mask = np.zeros(len(ids), np.int8)
+        taken = 0
+        alive = np.ones(len(groups), bool)
+        while taken < num and alive.any():
+            p = weights * alive
+            p = p / p.sum()
+            draws = self.rng.choice(len(groups), size=10, replace=True, p=p)
+            for gi in draws:
+                if taken >= num:
+                    break
+                if not alive[gi]:
+                    continue
+                g = groups[gi]
+                mask[g] = 1
+                taken += len(g)
+                alive[gi] = False
+        return mask
+
+    def dual_mask(self, ids: Sequence[int]):
+        """50/50 complementary word masks (``_whole_word_mask_dual``)."""
+        m = self.whole_word_mask(ids, probability=0.5)
+        specials = np.array([self.meta.is_special(t) for t in ids], bool)
+        dual = np.where(m == 1, 0, 1).astype(np.int8)
+        # reference's dual mask marks every non-covered index incl. specials;
+        # corruption never applies to specials anyway because mask_tokens
+        # receives mask labels built before [CLS] prepend + padding.
+        return m, dual
+
+    # --- packing ----------------------------------------------------------
+    def truncate(self, ids: Sequence[int]) -> List[int]:
+        tgt = self.max_seq_length - 2          # room for [CLS], [SEP]
+        ids = list(ids)
+        if len(ids) <= tgt:
+            return ids
+        trunc = len(ids) - tgt
+        left = int(self.rng.integers(0, trunc + 1))
+        right = trunc - left
+        return ids[left: len(ids) - right]
+
+    def _encode(self, ids: Sequence[int]) -> np.ndarray:
+        out = [self.meta.cls_id] + list(ids) + [self.meta.sep_id]
+        out = out[: self.max_seq_length]
+        out += [self.meta.pad_id] * (self.max_seq_length - len(out))
+        return np.asarray(out, np.int32)
+
+    def _pad_mask(self, word_mask: np.ndarray) -> np.ndarray:
+        m = np.concatenate([[0], word_mask])[: self.max_seq_length]
+        return np.pad(m, (0, self.max_seq_length - len(m))).astype(np.int8)
+
+    def mask_tokens(self, inputs: np.ndarray, mask_labels: np.ndarray):
+        """HF ``torch_mask_tokens``: 80% [MASK] / 10% random / 10% keep."""
+        labels = np.where(mask_labels == 1, inputs, IGNORE_INDEX).astype(np.int64)
+        out = inputs.copy()
+        masked = mask_labels == 1
+        r = self.rng.random(inputs.shape)
+        replace_mask = masked & (r < 0.8)
+        random_tok = masked & (r >= 0.8) & (r < 0.9)
+        out[replace_mask] = self.meta.mask_id
+        out[random_tok] = self.rng.integers(
+            0, self.meta.vocab_size, size=int(random_tok.sum()))
+        return out.astype(np.int32), labels
+
+    def __call__(self, examples: Sequence[Dict]) -> Dict[str, np.ndarray]:
+        streams = {k: [] for k in (
+            "text", "query", "gpt", "next_enc", "next_dec")}
+        word_masks = {k: [] for k in (
+            "mlm", "decoder", "query", "gpt", "next_enc", "next_dec",
+            "overlap_enc", "overlap_dec")}
+
+        for e in examples:
+            text = self.truncate(e["text"])
+            streams["text"].append(self._encode(text))
+            word_masks["mlm"].append(self._pad_mask(self.whole_word_mask(text)))
+            word_masks["decoder"].append(self._pad_mask(self.keyword_mask(text)))
+
+            long_query: List[int] = []
+            for qry in e.get("queries", []):
+                long_query.extend(list(qry) + [self.meta.sep_id])
+            long_query = self.truncate(long_query) if long_query else list(text)
+            streams["query"].append(self._encode(long_query))
+            word_masks["query"].append(self._pad_mask(
+                self.whole_word_mask(long_query,
+                                     self.decoder_mlm_probability)))
+
+            nxt = e.get("next") or [[]]
+            gpt = self.truncate(nxt[0]) if nxt[0] else list(text)
+            streams["gpt"].append(self._encode(gpt))
+            word_masks["gpt"].append(self._pad_mask(
+                self.whole_word_mask(gpt, self.decoder_mlm_probability)))
+
+            half = len(text) // 2
+            first, second = text[:half], text[half:]
+            streams["next_enc"].append(self._encode(first))
+            word_masks["next_enc"].append(self._pad_mask(
+                self.whole_word_mask(first)))
+            streams["next_dec"].append(self._encode(second))
+            word_masks["next_dec"].append(self._pad_mask(
+                self.keyword_mask(second)))
+
+            enc_m, dec_m = self.dual_mask(text)
+            word_masks["overlap_enc"].append(self._pad_mask(enc_m))
+            word_masks["overlap_dec"].append(self._pad_mask(dec_m))
+
+        arr = {k: np.stack(v) for k, v in streams.items()}
+        wm = {k: np.stack(v) for k, v in word_masks.items()}
+        pad = self.meta.pad_id
+
+        def corrupt(ids, mask):
+            return self.mask_tokens(ids, mask)
+
+        inputs, labels = corrupt(arr["text"], wm["mlm"])
+        dec_in, dec_lab = corrupt(arr["text"], wm["decoder"])
+        q_in, q_lab = corrupt(arr["query"], wm["query"])
+        g_in, g_lab = corrupt(arr["gpt"], wm["gpt"])
+        ne_in, ne_lab = corrupt(arr["next_enc"], wm["next_enc"])
+        nd_in, nd_lab = corrupt(arr["next_dec"], wm["next_dec"])
+        oe_in, oe_lab = corrupt(arr["text"], wm["overlap_enc"])
+        od_in, od_lab = corrupt(arr["text"], wm["overlap_dec"])
+
+        return {
+            "input_ids": inputs, "labels": labels,
+            "decoder_input_ids": dec_in, "decoder_labels": dec_lab,
+            "query_input_ids": q_in, "query_labels": q_lab,
+            "gpt_input_ids": g_in, "gpt_labels": g_lab,
+            "next_encoder_input_ids": ne_in, "next_encoder_labels": ne_lab,
+            "next_decoder_input_ids": nd_in, "next_decoder_labels": nd_lab,
+            "overlap_encoder_input_ids": oe_in,
+            "overlap_encoder_labels": oe_lab,
+            "overlap_decoder_input_ids": od_in,
+            "overlap_decoder_labels": od_lab,
+            "attention_mask": (arr["text"] != pad).astype(np.int32),
+            "query_attention_mask": (arr["query"] != pad).astype(np.int32),
+            "gpt_attention_mask": (arr["gpt"] != pad).astype(np.int32),
+            "next_encoder_attention_mask":
+                (arr["next_enc"] != pad).astype(np.int32),
+            "next_decoder_attention_mask":
+                (arr["next_dec"] != pad).astype(np.int32),
+        }

@@ -2,6 +2,8 @@ from simxns_tpu.models.bert import BertConfig, BertEncoder, EncoderOutput
 from simxns_tpu.models.dual_encoder import BiEncoder, BiEncoderConfig
 from simxns_tpu.models.cross_encoder import CrossEncoder, CrossEncoderConfig
 from simxns_tpu.models.colbert import ColBERT, ColBERTConfig
+from simxns_tpu.models.condenser import (
+    Condenser, CondenserConfig, cocondenser_span_loss, mlm_loss_from_logits)
 
 __all__ = [
     "BertConfig",
@@ -13,4 +15,8 @@ __all__ = [
     "CrossEncoderConfig",
     "ColBERT",
     "ColBERTConfig",
+    "Condenser",
+    "CondenserConfig",
+    "cocondenser_span_loss",
+    "mlm_loss_from_logits",
 ]

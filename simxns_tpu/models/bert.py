@@ -10,8 +10,9 @@ One encoder replaces every HF wrapper the reference vendors:
   (``LEAD/models.py:184-196`` — here that's just ``output_hidden_states=True``);
 - PROD's truncated-depth student init (first n layers of a deeper teacher,
   ``PROD/ProD_KD/model/models.py:52-60``) via :func:`truncate_layers`;
-- MASTER's Condenser decoder stacks (2-layer ``BertLayer`` heads,
-  ``MASTER/pretrain/modeling.py:31-45``) reuse :class:`BertLayer` directly.
+- MASTER's Condenser decoder stacks (2-layer ``BertLayer`` heads over
+  ``[CLS || fresh embeddings]``, ``MASTER/pretrain/modeling.py:31-45,63-77``)
+  reuse :class:`BertLayer` and the encoder's ``embed()`` method directly.
 
 TPU-first choices: bf16 activations by default (the reference needs apex AMP
 loss-scaling; bf16 needs none — SURVEY.md §2.1), static shapes everywhere,
@@ -86,35 +87,46 @@ def _dense(cfg: BertConfig, features: int, name: str) -> nn.Dense:
 
 class BertEmbeddings(nn.Module):
     cfg: BertConfig
-    deterministic: bool = True
 
-    @nn.compact
-    def __call__(self, input_ids, token_type_ids, position_ids):
+    def setup(self):
         cfg = self.cfg
         emb_init = nn.initializers.normal(cfg.initializer_range)
-        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, embedding_init=emb_init,
-                        dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                        name="word_embeddings")(input_ids)
-        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
-                       embedding_init=emb_init, dtype=cfg.dtype,
-                       param_dtype=cfg.param_dtype,
-                       name="position_embeddings")(position_ids)
-        typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, embedding_init=emb_init,
-                       dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                       name="token_type_embeddings")(token_type_ids)
-        x = word + pos + typ
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
-                         param_dtype=cfg.param_dtype, name="layer_norm")(x)
-        return nn.Dropout(cfg.hidden_dropout)(x, deterministic=self.deterministic)
+        self.word_embeddings = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, embedding_init=emb_init,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        self.position_embeddings = nn.Embed(
+            cfg.max_position_embeddings, cfg.hidden_size,
+            embedding_init=emb_init, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype)
+        self.token_type_embeddings = nn.Embed(
+            cfg.type_vocab_size, cfg.hidden_size, embedding_init=emb_init,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        self.layer_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                                       dtype=cfg.dtype,
+                                       param_dtype=cfg.param_dtype)
+        self.dropout = nn.Dropout(cfg.hidden_dropout)
+
+    def __call__(self, input_ids, token_type_ids=None, position_ids=None, *,
+                 deterministic: bool = True):
+        b, s = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros((b, s), dtype=jnp.int32)
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(
+                jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+        x = (self.word_embeddings(input_ids)
+             + self.position_embeddings(position_ids)
+             + self.token_type_embeddings(token_type_ids))
+        x = self.layer_norm(x)
+        return self.dropout(x, deterministic=deterministic)
 
 
 class BertSelfAttention(nn.Module):
     cfg: BertConfig
-    deterministic: bool = True
-    output_attention: bool = False
 
     @nn.compact
-    def __call__(self, hidden, attention_mask):
+    def __call__(self, hidden, attention_mask, *, deterministic: bool = True,
+                 output_attention: bool = False):
         cfg = self.cfg
         b, s, h = hidden.shape
         d = h // cfg.num_heads
@@ -127,11 +139,11 @@ class BertSelfAttention(nn.Module):
         v = split(_dense(cfg, h, "value")(hidden))
         ctx, probs = multi_head_attention(
             q, k, v, attention_mask,
-            impl=cfg.attention_impl, return_probs=self.output_attention,
+            impl=cfg.attention_impl, return_probs=output_attention,
         )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
         out = _dense(cfg, h, "output")(ctx)
-        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=self.deterministic)
+        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                            param_dtype=cfg.param_dtype, name="output_layer_norm")(
             out + hidden)
@@ -139,23 +151,25 @@ class BertSelfAttention(nn.Module):
 
 
 class BertLayer(nn.Module):
-    """Post-LN transformer block (attention + GELU FFN), HF-BERT layout."""
+    """Post-LN transformer block (attention + GELU FFN), HF-BERT layout.
+
+    Reused standalone by MASTER's Condenser decoder heads
+    (``MASTER/pretrain/modeling.py:31-45``).
+    """
 
     cfg: BertConfig
-    deterministic: bool = True
-    output_attention: bool = False
 
     @nn.compact
-    def __call__(self, hidden, attention_mask):
+    def __call__(self, hidden, attention_mask, *, deterministic: bool = True,
+                 output_attention: bool = False):
         cfg = self.cfg
-        attn_out, probs = BertSelfAttention(
-            cfg, deterministic=self.deterministic,
-            output_attention=self.output_attention, name="attention")(
-            hidden, attention_mask)
+        attn_out, probs = BertSelfAttention(cfg, name="attention")(
+            hidden, attention_mask, deterministic=deterministic,
+            output_attention=output_attention)
         inter = _dense(cfg, cfg.intermediate_size, "intermediate")(attn_out)
         inter = nn.gelu(inter, approximate=False)
         out = _dense(cfg, cfg.hidden_size, "output")(inter)
-        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=self.deterministic)
+        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                            param_dtype=cfg.param_dtype, name="output_layer_norm")(
             out + attn_out)
@@ -167,11 +181,47 @@ class BertEncoder(nn.Module):
 
     ``output_hidden_states``/``output_attentions`` expose what LEAD's vendored
     BERT exposes (per-layer CLS scores + attention maps, ``LEAD/models.py``).
+    ``embed()`` exposes the embedding sublayer for Condenser decoder inputs
+    (``MASTER/pretrain/modeling.py:64`` uses ``lm.bert.embeddings`` directly).
     """
 
     cfg: BertConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.embeddings = BertEmbeddings(cfg)
+        self.layers = [BertLayer(cfg, name=f"layer_{i}")
+                       for i in range(cfg.num_layers)]
+
+    def embed(self, input_ids, token_type_ids=None, *,
+              deterministic: bool = True):
+        """Fresh (position-aware) embeddings of a token sequence."""
+        return self.embeddings(input_ids, token_type_ids,
+                               deterministic=deterministic)
+
+    def run_layers(self, hidden, attention_mask, *, deterministic: bool = True,
+                   output_hidden_states: bool = False,
+                   output_attentions: bool = False):
+        all_hidden = [hidden] if output_hidden_states else None
+        all_attn = [] if output_attentions else None
+        x = hidden
+        for layer in self.layers:
+            if self.cfg.remat and not output_attentions:
+                def body(mdl, h, m):
+                    return layer(h, m, deterministic=deterministic)[0]
+
+                x = nn.remat(body, prevent_cse=False)(self, x, attention_mask)
+                probs = None
+            else:
+                x, probs = layer(x, attention_mask,
+                                 deterministic=deterministic,
+                                 output_attention=output_attentions)
+            if output_hidden_states:
+                all_hidden.append(x)
+            if output_attentions:
+                all_attn.append(probs)
+        return x, all_hidden, all_attn
+
     def __call__(
         self,
         input_ids: jax.Array,                  # [B, S] int32
@@ -182,40 +232,48 @@ class BertEncoder(nn.Module):
         output_hidden_states: bool = False,
         output_attentions: bool = False,
     ) -> EncoderOutput:
-        cfg = self.cfg
         b, s = input_ids.shape
         if attention_mask is None:
             attention_mask = jnp.ones((b, s), dtype=jnp.int32)
-        if token_type_ids is None:
-            token_type_ids = jnp.zeros((b, s), dtype=jnp.int32)
-        position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
-
-        x = BertEmbeddings(cfg, deterministic=deterministic, name="embeddings")(
-            input_ids, token_type_ids, position_ids)
-
-        all_hidden = [x] if output_hidden_states else None
-        all_attn = [] if output_attentions else None
-
-        layer_cls = BertLayer
-        if cfg.remat and not output_attentions:
-            layer_cls = nn.remat(BertLayer)
-
-        for i in range(cfg.num_layers):
-            x, probs = layer_cls(
-                cfg, deterministic=deterministic,
-                output_attention=output_attentions, name=f"layer_{i}")(
-                x, attention_mask)
-            if output_hidden_states:
-                all_hidden.append(x)
-            if output_attentions:
-                all_attn.append(probs)
-
+        x = self.embeddings(input_ids, token_type_ids,
+                            deterministic=deterministic)
+        x, all_hidden, all_attn = self.run_layers(
+            x, attention_mask, deterministic=deterministic,
+            output_hidden_states=output_hidden_states,
+            output_attentions=output_attentions)
         return EncoderOutput(
             last_hidden_state=x,
             pooled=x[:, 0],
             hidden_states=tuple(all_hidden) if output_hidden_states else None,
             attentions=tuple(all_attn) if output_attentions else None,
         )
+
+
+class MLMHead(nn.Module):
+    """BERT MLM classifier (``BertOnlyMLMHead``): transform + vocab proj.
+
+    Pass ``shared_embedding`` (the word-embedding table [V, H]) to tie the
+    output projection to the input embeddings as HF does; otherwise an
+    untied projection matrix is learned.
+    """
+
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, hidden, shared_embedding: Optional[jax.Array] = None):
+        cfg = self.cfg
+        x = _dense(cfg, cfg.hidden_size, "transform")(hidden)
+        x = nn.gelu(x, approximate=False)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                         param_dtype=cfg.param_dtype, name="transform_layer_norm")(x)
+        if shared_embedding is not None:
+            logits = jnp.einsum("bsh,vh->bsv", x,
+                                shared_embedding.astype(x.dtype),
+                                preferred_element_type=jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (cfg.vocab_size,),
+                              cfg.param_dtype)
+            return logits + bias
+        return _dense(cfg, cfg.vocab_size, "decoder")(x).astype(jnp.float32)
 
 
 def truncate_layers(params: dict, num_layers: int) -> dict:
