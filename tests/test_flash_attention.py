@@ -1,0 +1,73 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import simxns_tpu.ops.flash_attention as fa
+from simxns_tpu.ops.attention import multi_head_attention
+
+
+@pytest.fixture
+def interpret_mode():
+    fa.INTERPRET = True
+    yield
+    fa.INTERPRET = False
+
+
+def _inputs(b=2, h=4, s=128, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    mask = jnp.ones((b, s), jnp.int32).at[:, s - 28:].set(0)
+    return q, k, v, mask
+
+
+def test_pallas_fwd_matches_xla(interpret_mode):
+    q, k, v, mask = _inputs()
+    out = fa.flash_attention(q, k, v, mask)
+    ref, _ = multi_head_attention(q, k, v, mask, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_pallas_bwd_matches_xla(interpret_mode):
+    q, k, v, mask = _inputs(b=1, h=2, s=64, d=32)
+
+    def loss_p(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, mask) ** 2)
+
+    def loss_x(q, k, v):
+        return jnp.sum(multi_head_attention(q, k, v, mask, impl="xla")[0] ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_dispatch_policy():
+    """On CPU (non-TPU), flash_attention must silently use the XLA path."""
+    assert fa.INTERPRET is False
+    q, k, v, mask = _inputs(b=1, h=2, s=32, d=16)
+    out = fa.flash_attention(q, k, v, mask)
+    ref, _ = multi_head_attention(q, k, v, mask, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_model_level_flash_equals_xla(interpret_mode):
+    """BertEncoder outputs identical with attention_impl flash vs xla."""
+    from simxns_tpu.models.bert import BertConfig, BertEncoder
+
+    cfg_x = BertConfig.tiny(attention_impl="xla")
+    cfg_f = cfg_x.replace(attention_impl="flash")
+    rng = np.random.default_rng(1)
+    ids = rng.integers(4, 1000, size=(2, 16)).astype(np.int32)
+    mask = np.ones_like(ids)
+    enc_x = BertEncoder(cfg_x)
+    params = enc_x.init(jax.random.PRNGKey(0), ids, mask)
+    out_x = enc_x.apply(params, ids, mask).pooled
+    out_f = BertEncoder(cfg_f).apply(params, ids, mask).pooled
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               atol=2e-4, rtol=2e-4)
