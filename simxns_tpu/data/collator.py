@@ -39,7 +39,12 @@ IGNORE_INDEX = -100
 
 @dataclasses.dataclass
 class TokenMeta:
-    """Tokenizer facts the collator needs (id-level only)."""
+    """Tokenizer facts the collator needs (id-level only).
+
+    ``*_table`` vocab-sized lookup arrays are optional but make the hot path
+    vectorized (one fancy-index instead of a Python call per token); the
+    factory builds them.
+    """
     vocab_size: int
     cls_id: int
     sep_id: int
@@ -48,6 +53,20 @@ class TokenMeta:
     is_special: Callable[[int], bool]
     is_continuation: Callable[[int], bool] = lambda tid: False
     word_weight: Callable[[int], float] = lambda tid: 1.0   # 1/freq for keyword
+    special_table: Optional[np.ndarray] = None      # uint8 [V]
+    contin_table: Optional[np.ndarray] = None       # uint8 [V]
+    weight_table: Optional[np.ndarray] = None       # float64 [V]
+
+    def build_tables(self) -> "TokenMeta":
+        v = self.vocab_size
+        ids = range(v)
+        self.special_table = np.fromiter(
+            (self.is_special(i) for i in ids), np.uint8, v)
+        self.contin_table = np.fromiter(
+            (self.is_continuation(i) for i in ids), np.uint8, v)
+        self.weight_table = np.fromiter(
+            (self.word_weight(i) for i in ids), np.float64, v)
+        return self
 
     @staticmethod
     def for_hash_tokenizer(tok, mask_id: Optional[int] = None,
@@ -62,7 +81,7 @@ class TokenMeta:
             mask_id=mask_id if mask_id is not None else tok.vocab_size - 1,
             is_special=lambda tid: tid in specials,
             word_weight=lambda tid: 1.0 / freq.get(tid, 1.0),
-        )
+        ).build_tables()
 
 
 @dataclasses.dataclass
@@ -72,9 +91,31 @@ class CondenserCollator:
     mlm_probability: float = 0.30
     decoder_mlm_probability: float = 0.50
     seed: int = 0
+    use_native: bool = True      # C++ fast path when the library builds
 
     def __post_init__(self):
         self.rng = np.random.default_rng(self.seed)
+        self._native = None
+        if self.use_native:
+            from simxns_tpu.data import native
+
+            if native.available():
+                self._native = native
+
+    # --- native-path helpers ----------------------------------------------
+    def _token_flags(self, ids: Sequence[int]):
+        arr = np.asarray(ids, np.int32)
+        if self.meta.special_table is not None:
+            return (arr, self.meta.special_table[arr],
+                    self.meta.contin_table[arr])
+        special = np.fromiter((self.meta.is_special(int(t)) for t in arr),
+                              np.uint8, len(arr))
+        contin = np.fromiter((self.meta.is_continuation(int(t)) for t in arr),
+                             np.uint8, len(arr))
+        return arr, special, contin
+
+    def _seed(self) -> int:
+        return int(self.rng.integers(0, 2 ** 63 - 1))
 
     # --- word grouping ---------------------------------------------------
     def _word_groups(self, ids: Sequence[int]) -> List[List[int]]:
@@ -105,6 +146,10 @@ class CondenserCollator:
                         probability: Optional[float] = None) -> np.ndarray:
         """0/1 word-mask over ids (``_whole_word_mask`` data.py:71-102)."""
         p = self.mlm_probability if probability is None else probability
+        if self._native is not None:
+            arr, special, contin = self._token_flags(ids)
+            return self._native.whole_word_mask(arr, special, contin, p,
+                                                self._seed())
         groups = self._word_groups(ids)
         self.rng.shuffle(groups)
         num = min(512, max(1, int(round(len(ids) * p))))
@@ -113,6 +158,17 @@ class CondenserCollator:
     def keyword_mask(self, ids: Sequence[int]) -> np.ndarray:
         """Keyword-weighted decoder mask (``data.py:171-219``): words drawn
         with probability proportional to 1/corpus-frequency."""
+        if self._native is not None:
+            arr, special, contin = self._token_flags(ids)
+            if self.meta.weight_table is not None:
+                weights = self.meta.weight_table[arr]
+            else:
+                weights = np.fromiter(
+                    (self.meta.word_weight(int(t)) for t in arr),
+                    np.float64, len(arr))
+            return self._native.keyword_mask(
+                arr, special, contin, weights,
+                self.decoder_mlm_probability, self._seed())
         groups = self._word_groups(ids)
         if not groups:
             return np.zeros(len(ids), np.int8)
@@ -171,6 +227,10 @@ class CondenserCollator:
 
     def mask_tokens(self, inputs: np.ndarray, mask_labels: np.ndarray):
         """HF ``torch_mask_tokens``: 80% [MASK] / 10% random / 10% keep."""
+        if self._native is not None:
+            return self._native.mask_tokens(
+                inputs, mask_labels, self.meta.mask_id,
+                self.meta.vocab_size, self._seed())
         labels = np.where(mask_labels == 1, inputs, IGNORE_INDEX).astype(np.int64)
         out = inputs.copy()
         masked = mask_labels == 1
