@@ -4,6 +4,9 @@ from simxns_tpu.models.cross_encoder import CrossEncoder, CrossEncoderConfig
 from simxns_tpu.models.colbert import ColBERT, ColBERTConfig
 from simxns_tpu.models.condenser import (
     Condenser, CondenserConfig, cocondenser_span_loss, mlm_loss_from_logits)
+from simxns_tpu.models.reader import Reader, ReaderConfig, reader_loss
+from simxns_tpu.models.hf_import import (
+    convert_hf_bert, load_hf_bert_encoder, as_biencoder_params)
 
 __all__ = [
     "BertConfig",
@@ -19,4 +22,10 @@ __all__ = [
     "CondenserConfig",
     "cocondenser_span_loss",
     "mlm_loss_from_logits",
+    "Reader",
+    "ReaderConfig",
+    "reader_loss",
+    "convert_hf_bert",
+    "load_hf_bert_encoder",
+    "as_biencoder_params",
 ]
