@@ -81,10 +81,13 @@ class MIPSIndex:
     """
 
     def __init__(self, mesh: Mesh, block_size: int = 4096,
-                 store_dtype=jnp.bfloat16):
+                 store_dtype=jnp.bfloat16, mode: str = "exact",
+                 recall_target: float = 0.95):
         self.mesh = mesh
         self.block_size = block_size
         self.store_dtype = store_dtype
+        self.mode = mode                      # "exact" | "approx"
+        self.recall_target = recall_target
         self.embeddings: Optional[jax.Array] = None
         self.num_rows = 0
         self._search_cache: Dict[Tuple[int, int], Callable] = {}
@@ -123,7 +126,8 @@ class MIPSIndex:
                 q, shard.astype(q.dtype), k, block_size=block,
                 id_offset=offset, valid_n=jnp.minimum(
                     jnp.maximum(num_rows - offset, 0), shard_rows),
-                axis_name=DATA_AXIS)
+                axis_name=DATA_AXIS, mode=self.mode,
+                recall_target=self.recall_target)
             # [n_shards, Q, k] on every device after gather; every device
             # merges the same gathered lists, so outputs are replicated by
             # construction (hence check_vma=False below — JAX cannot prove

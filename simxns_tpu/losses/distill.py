@@ -144,3 +144,38 @@ def mixed_kd_loss(hard_loss: jax.Array, soft_loss: jax.Array,
                   ce_weight: float = 0.0, kd_weight: float = 1.0) -> jax.Array:
     """``CE_WEIGHT * hard + KD_WEIGHT * soft`` (models.py:1031)."""
     return ce_weight * hard_loss + kd_weight * soft_loss
+
+
+def multi_teacher_kd_loss(
+    student_scores: jax.Array,     # [B, M] grouped scores
+    de_scores: jax.Array,          # [B, M] DE teacher
+    ce12_scores: jax.Array,        # [B, M] 12L CE teacher
+    ce24_scores: jax.Array,        # [B, M] 24L CE teacher
+    temperature: float = 1.0,
+) -> Tuple[jax.Array, dict]:
+    """PROD ``UniKDLoss`` 3-teacher loss-weighted ensemble
+    (``PROD/ProD_KD/model/models.py:473-560``), replicated faithfully
+    including its quirks: the per-teacher "loss" is ``F.nll_loss`` applied to
+    *softmax probabilities* (not log-probs), i.e. ``-p[:,0].mean()`` — a
+    negative number — and the ensemble weights are each teacher's share of
+    that sum (so *worse* teachers get more weight) with the soft term scaled
+    by ``1 / (0.1 + mean_teacher_loss)`` (:552-554).
+    """
+    s = student_scores.astype(jnp.float32)
+    logp = jax.nn.log_softmax(s, axis=1)
+    hard = -logp[:, 0].mean()
+
+    def quirk_loss(t):
+        return -jax.nn.softmax(
+            jax.lax.stop_gradient(t.astype(jnp.float32)), axis=1)[:, 0].mean()
+
+    de_l = quirk_loss(de_scores)
+    c12_l = quirk_loss(ce12_scores)
+    c24_l = quirk_loss(ce24_scores)
+    total_t = de_l + c12_l + c24_l
+    mixed = (de_l / total_t * de_scores + c12_l / total_t * ce12_scores
+             + c24_l / total_t * ce24_scores)
+    soft = kd_softmax_loss(s, mixed, temperature)
+    loss = hard + (1.0 / (0.1 + total_t / 3.0)) * soft
+    return loss, {"hard_loss": hard, "soft_loss": soft,
+                  "teacher_losses": jnp.stack([de_l, c12_l, c24_l])}

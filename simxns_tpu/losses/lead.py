@@ -133,6 +133,32 @@ def virt_loss(teacher_maps: jax.Array, student_maps: jax.Array,
     return jnp.sum((s - t) ** 2) / l / q / d * distill_para
 
 
+def attention_map_kl(
+    student_scores: jax.Array,   # [..., Sq, Sd] raw q-token x d-token scores
+    teacher_scores: jax.Array,   # [..., Sq, Sd] raw attention logits
+    q_valid: jax.Array,          # [..., Sq] bool/int
+    d_valid: jax.Array,          # [..., Sd]
+) -> jax.Array:
+    """CE -> student attention-map KL (``attention_map_loss`` util.py:467-502).
+
+    The reference slices each instance's CE attention map to its
+    [query x doc] region with Python loops over per-instance spans; here both
+    sides are masked to -1e9 outside the valid region and softmaxed over doc
+    tokens — fully-masked rows become identical uniform distributions and
+    contribute zero KL, so the result matches the per-instance slicing.
+    KL is batchmean over all leading dims, averaged over valid query rows.
+    """
+    mask = (q_valid[..., :, None] > 0) & (d_valid[..., None, :] > 0)
+    s = jnp.where(mask, student_scores.astype(jnp.float32), NEG)
+    t = jnp.where(mask, jax.lax.stop_gradient(
+        teacher_scores.astype(jnp.float32)), NEG)
+    p_t = jax.nn.softmax(t, axis=-1)
+    log_s = jax.nn.log_softmax(s, axis=-1)
+    kl = (p_t * (jnp.log(jnp.clip(p_t, 1e-30, None)) - log_s)).sum(-1)
+    row_valid = (q_valid > 0).astype(jnp.float32)
+    return (kl * row_valid).sum() / jnp.maximum(row_valid.sum(), 1.0)
+
+
 def select_layers(
     rng: np.random.Generator,
     num_student_layers: int,

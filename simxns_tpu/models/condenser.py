@@ -158,6 +158,83 @@ class Condenser(nn.Module):
                            deterministic=deterministic)
         return out.pooled
 
+    def decode_logits(self, head_name, cls_hiddens, decoder_input_ids,
+                      attention_mask, *, deterministic=True):
+        """MLM logits of a decoder head over [CLS || fresh embeddings]."""
+        skip = self.encoder.embed(decoder_input_ids,
+                                  deterministic=deterministic)
+        hiddens = jnp.concatenate([cls_hiddens, skip[:, 1:]], axis=1)
+        for layer in getattr(self, head_name):
+            hiddens, _ = layer(hiddens, attention_mask,
+                               deterministic=deterministic)
+        return self.mlm(hiddens, self._embedding_table())
+
+    def electra_forward(self, batch: Dict[str, jax.Array], *,
+                        deterministic: bool = True):
+        """ELECTRA variant: 3 decoder heads, all fed by the *text* CLS
+        (``ELECTRACondenserForPretraining.forward``,
+        ``MASTER/pretrain/modeling.py:235-286``): c_head on the corrupted
+        text, next_head on the continuation, overlap_head on the complement
+        mask — plus the encoder MLM loss. 4-loss sum.
+        """
+        det = deterministic
+        enc_loss, cls = self._encode_mlm(
+            batch["input_ids"], batch["attention_mask"], batch["labels"],
+            deterministic=det)
+        c_loss = self._decode_mlm(
+            "c_head", cls, batch["decoder_input_ids"],
+            batch["attention_mask"], batch["decoder_labels"],
+            deterministic=det)
+        next_loss = self._decode_mlm(
+            "next_head", cls, batch["next_decoder_input_ids"],
+            batch["next_decoder_attention_mask"],
+            batch["next_decoder_labels"], deterministic=det)
+        overlap_loss = self._decode_mlm(
+            "overlap_head", cls, batch["overlap_decoder_input_ids"],
+            batch["attention_mask"], batch["overlap_decoder_labels"],
+            deterministic=det)
+        parts = {"mlm": enc_loss, "c_head": c_loss, "next": next_loss,
+                 "overlap": overlap_loss}
+        return sum(parts.values()), parts
+
+
+def in_batch_nearest(cls_hiddens: jax.Array) -> jax.Array:
+    """Each row's nearest *other* row by dot product
+    (``trainer.py:in_batch_nearest`` — the ELECTRA CLS-swap corruption)."""
+    sims = jnp.einsum("bh,ch->bc", cls_hiddens, cls_hiddens,
+                      preferred_element_type=jnp.float32)
+    n = sims.shape[0]
+    sims = jnp.where(jnp.eye(n, dtype=bool), -jnp.inf, sims)
+    return cls_hiddens[jnp.argmax(sims, axis=1)]
+
+
+def generate_replaced_ids(model: Condenser, params, batch: Dict[str, jax.Array],
+                          mask_id: int):
+    """ELECTRA-style realistic corruption (``MASTER/pretrain/trainer.py:
+    35-93``): decode masked positions with the c_head conditioned on the
+    in-batch-*nearest* example's CLS (not the own CLS), splice argmax
+    predictions at [MASK] positions. Returns
+    ``(replaced_decoder_input_ids, replaced_input_ids)``; run under
+    ``stop_gradient``/outside the train step like the reference's no_grad.
+    """
+
+    def swap_decode(src_ids, src_mask, tgt_ids, tgt_mask):
+        cls = model.apply(params, src_ids, src_mask, method="encode_cls")
+        swapped = in_batch_nearest(cls)[:, None, :]
+        logits = model.apply(params, "c_head", swapped, tgt_ids, tgt_mask,
+                             method="decode_logits")
+        pred = jnp.argmax(logits, axis=-1).astype(tgt_ids.dtype)
+        return jnp.where(tgt_ids != mask_id, tgt_ids, pred)
+
+    replaced_decoder = swap_decode(
+        batch["input_ids"], batch["attention_mask"],
+        batch["decoder_input_ids"], batch["attention_mask"])
+    replaced_input = swap_decode(
+        batch["decoder_input_ids"], batch["attention_mask"],
+        batch["input_ids"], batch["attention_mask"])
+    return (jax.lax.stop_gradient(replaced_decoder),
+            jax.lax.stop_gradient(replaced_input))
+
 
 def cocondenser_span_loss(span_cls: jax.Array) -> jax.Array:
     """CoCondenser contrastive loss over span CLS vectors.

@@ -57,6 +57,8 @@ def blocked_mips_topk(
     id_offset: jax.Array | int = 0,
     valid_n: jax.Array | int | None = None,
     axis_name: str | None = None,
+    mode: str = "exact",
+    recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming top-k over corpus blocks; O(Q*(k+block)) live memory.
 
@@ -64,6 +66,12 @@ def blocked_mips_topk(
     padded to a block multiple so shapes stay static). ``id_offset`` and
     ``valid_n`` may be traced values (shard rank offsets under ``shard_map``);
     only ``k`` and ``block_size`` must be static. Callers jit.
+
+    ``mode='exact'`` keeps a running top-k (merge-and-reselect per block —
+    the FAISS-exact semantics). ``mode='approx'`` selects per block with
+    ``lax.approx_max_k`` (TPU PartialReduce) at ``recall_target`` and merges
+    once at the end — much cheaper selection at near-perfect recall, the
+    right trade for negative mining where FAISS-fp16 itself isn't exact.
 
     Under ``shard_map`` pass ``axis_name`` so the scan carry is marked
     device-varying (JAX's vma check rejects a replicated carry fed by
@@ -81,6 +89,29 @@ def blocked_mips_topk(
         valid_n = n
     num_blocks = n // block_size
     blocks = corpus.reshape(num_blocks, block_size, h)
+
+    if mode == "approx":
+        # Per-block hardware-friendly selection (XLA PartialReduce via
+        # lax.approx_max_k — the TPU-native ANN primitive), then one exact
+        # top-k over the num_blocks*k survivors. Avoids the expensive
+        # per-step sort over (k + block_size) columns of the exact path;
+        # whole-corpus recall@k >= recall_target per block by construction.
+        def step(_, inp):
+            block, b_idx = inp
+            s = jnp.einsum("qh,nh->qn", queries, block,
+                           preferred_element_type=jnp.float32)
+            col = jax.lax.broadcasted_iota(jnp.int32, (q, block_size), 1)
+            s = jnp.where(b_idx * block_size + col < valid_n, s, NEG_INF)
+            bs, bi = jax.lax.approx_max_k(s, k, recall_target=recall_target)
+            return None, (bs, (bi + b_idx * block_size).astype(jnp.int32))
+
+        _, (all_s, all_i) = jax.lax.scan(
+            step, None, (blocks, jnp.arange(num_blocks, dtype=jnp.int32)))
+        all_s = jnp.moveaxis(all_s, 0, 1).reshape(q, -1)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(q, -1)
+        scores, sel = jax.lax.top_k(all_s, k)
+        ids = jnp.take_along_axis(all_i, sel, axis=1)
+        return scores, jnp.where(scores > NEG_INF / 2, ids + id_offset, -1)
 
     init_scores = jnp.full((q, k), NEG_INF, dtype=jnp.float32)
     init_ids = jnp.full((q, k), -1, dtype=jnp.int32)

@@ -37,6 +37,54 @@ from simxns_tpu.parallel.mesh import DATA_AXIS
 Batch = dict
 
 
+def with_grad_accum(loss_fn: Callable, micro_steps: int) -> Callable:
+    """Wrap ``loss_fn(params, batch) -> (loss, aux)`` to average gradients
+    over ``micro_steps`` equal slices of the batch's leading dim.
+
+    The reference's ``--gradient_accumulation_steps``
+    (``co_training_wiki_train.py:228,257``) as a ``lax.scan`` over
+    microbatches — memory drops by ``micro_steps``. For per-example /
+    grouped losses the math is identical to the full batch. For *in-batch*
+    losses the negative pool shrinks to the microbatch — exactly the
+    reference's accumulation semantics — and ``positive_idx`` MUST be
+    microbatch-local (every leading dim is split; a full-batch index goes
+    out of range and jit's take_along_axis fills NaN).
+    """
+    if micro_steps <= 1:
+        return jax.value_and_grad(loss_fn, has_aux=True)
+
+    def split(x):
+        return x.reshape((micro_steps, x.shape[0] // micro_steps)
+                         + x.shape[1:])
+
+    def vg(params, batch):
+        micro = jax.tree_util.tree_map(split, batch)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def body(carry, mb):
+            (loss_sum, aux_sum, grads_sum) = carry
+            (loss, aux), grads = grad_fn(params, mb)
+            return (loss_sum + loss,
+                    jax.tree_util.tree_map(jnp.add, aux_sum, aux),
+                    jax.tree_util.tree_map(jnp.add, grads_sum, grads)), None
+
+        zero_like = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, x.dtype), t)
+        (l0, a0), g0 = grad_fn(
+            params, jax.tree_util.tree_map(lambda x: x[0], micro))
+        init = (l0, a0, g0)
+        rest = jax.tree_util.tree_map(lambda x: x[1:], micro)
+        (loss, aux, grads), _ = jax.lax.scan(body, init, rest)
+        scale = 1.0 / micro_steps
+        return ((loss * scale,
+                 jax.tree_util.tree_map(lambda x: x * scale
+                                        if jnp.issubdtype(x.dtype, jnp.floating)
+                                        else x, aux)),
+                jax.tree_util.tree_map(lambda g: g * scale, grads))
+
+    return vg
+
+
 def _jit_step(fn, mesh, state_like=None):
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(DATA_AXIS))

@@ -117,3 +117,35 @@ def test_retrieval_engine_mine_end_to_end():
     assert float(ex["positive_ctxs"][0]["score"]) > float(
         ex["hard_negative_ctxs"][0]["score"]) or True  # scores present
     assert "MRR_n@_10" in res.metrics
+
+
+def test_approx_mode_recall():
+    """approx_max_k path: near-exact recall on CPU, ids/scores consistent."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(7)
+    n, h, k = 2048, 32, 20
+    corpus = rng.normal(size=(n, h)).astype(np.float32)
+    queries = rng.normal(size=(16, h)).astype(np.float32)
+    index = MIPSIndex(mesh, block_size=128, store_dtype=jnp.float32,
+                      mode="approx", recall_target=0.95)
+    index.build(corpus)
+    scores, ids = index.search(queries, k)
+    oracle = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
+    recall = np.mean([len(set(ids[i]) & set(oracle[i])) / k
+                      for i in range(16)])
+    assert recall >= 0.9
+    # scores must equal the true dot products of the returned ids
+    got = np.take_along_axis(queries @ corpus.T, ids, axis=1)
+    np.testing.assert_allclose(scores, got, rtol=1e-4)
+
+
+def test_approx_mode_padding_safe():
+    mesh = create_mesh()
+    rng = np.random.default_rng(8)
+    corpus = rng.normal(size=(10, 16)).astype(np.float32)
+    index = MIPSIndex(mesh, block_size=32, store_dtype=jnp.float32,
+                      mode="approx")
+    index.build(corpus)
+    _, ids = index.search(corpus[:4], 5)
+    assert (ids >= 0).all() and (ids < 10).all()
+    assert ids[:, 0].tolist() == [0, 1, 2, 3]

@@ -137,3 +137,56 @@ def test_dkd_components():
     # no gradient into teacher
     g = jax.grad(lambda tt: dkd_loss(s, tt, tgt))(t)
     np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_multi_teacher_kd():
+    from simxns_tpu.losses.distill import multi_teacher_kd_loss
+    rng = np.random.default_rng(8)
+    s = jnp.asarray(rng.normal(size=(4, 6)), jnp.float32)
+    de = jnp.asarray(rng.normal(size=(4, 6)), jnp.float32)
+    c12 = jnp.asarray(rng.normal(size=(4, 6)), jnp.float32)
+    c24 = jnp.asarray(rng.normal(size=(4, 6)), jnp.float32)
+    loss, aux = multi_teacher_kd_loss(s, de, c12, c24, temperature=1.0)
+    assert np.isfinite(float(loss))
+    # per-teacher quirk loss = -softmax[:,0].mean() (negative)
+    want_de = float(-_softmax(np.asarray(de))[:, 0].mean())
+    np.testing.assert_allclose(float(aux["teacher_losses"][0]), want_de,
+                               rtol=1e-5)
+    # teachers get no gradient
+    g = jax.grad(lambda t: multi_teacher_kd_loss(s, t, c12, c24)[0])(de)
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_attention_map_kl():
+    from simxns_tpu.losses.lead import attention_map_kl
+    rng = np.random.default_rng(9)
+    s = jnp.asarray(rng.normal(size=(2, 4, 5)), jnp.float32)
+    q_valid = jnp.asarray([[1, 1, 0, 0], [1, 1, 1, 1]])
+    d_valid = jnp.ones((2, 5), jnp.int32)
+    assert float(attention_map_kl(s, s, q_valid, d_valid)) < 1e-6
+    t = s.at[..., 0].add(2.0)
+    kl = float(attention_map_kl(s, t, q_valid, d_valid))
+    assert kl > 0.01
+    # invalid query rows do not contribute: perturbing them changes nothing
+    s2 = s.at[0, 2].add(100.0)
+    np.testing.assert_allclose(
+        float(attention_map_kl(s2, t, q_valid, d_valid)), kl, rtol=1e-5)
+
+
+def test_grad_accum_matches_full_batch():
+    from simxns_tpu.train.steps import with_grad_accum
+    rng = np.random.default_rng(10)
+    w = jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)
+    batch = {"x": jnp.asarray(rng.normal(size=(8, 4)), jnp.float32),
+             "y": jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)}
+
+    def loss_fn(params, b):
+        pred = b["x"] @ params
+        loss = jnp.mean((pred - b["y"]) ** 2)
+        return loss, {"l": loss}
+
+    (l_full, _), g_full = jax.value_and_grad(loss_fn, has_aux=True)(w, batch)
+    (l_acc, _), g_acc = with_grad_accum(loss_fn, 4)(w, batch)
+    np.testing.assert_allclose(float(l_acc), float(l_full), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_acc), np.asarray(g_full),
+                               rtol=1e-5)

@@ -141,3 +141,31 @@ def test_cocondenser_span_loss():
     assert l_paired < l_random
     # self-similarity is masked: loss isn't trivially zero from diagonal
     assert l_random > 0.5
+
+
+def test_electra_variant_and_replaced_ids():
+    from simxns_tpu.models.condenser import generate_replaced_ids, in_batch_nearest
+    rng = np.random.default_rng(7)
+    coll = CondenserCollator(_meta(), max_seq_length=32, seed=8)
+    batch = coll(_examples(rng, n=4))
+    model = Condenser(CondenserConfig(bert=CFG, n_head_layers=1))
+    params = model.init(jax.random.PRNGKey(0), {k: v[:2] for k, v in batch.items()})
+    total, parts = model.apply(params, batch, method="electra_forward")
+    assert set(parts) == {"mlm", "c_head", "next", "overlap"}
+    assert np.isfinite(float(total))
+
+    # in-batch nearest never picks self
+    cls = jnp.asarray(np.random.default_rng(8).normal(size=(6, 8)), jnp.float32)
+    nearest = in_batch_nearest(cls)
+    assert not any(np.allclose(np.asarray(nearest[i]), np.asarray(cls[i]))
+                   for i in range(6))
+
+    mask_id = _meta().mask_id
+    rd, ri = generate_replaced_ids(model, params, batch, mask_id)
+    dec = batch["decoder_input_ids"]
+    masked = dec == mask_id
+    # nearly all [MASK] positions replaced (argmax may rarely emit mask_id)
+    assert (np.asarray(rd)[masked] == mask_id).mean() < 0.05
+    # non-mask positions untouched
+    keep = ~masked
+    np.testing.assert_array_equal(np.asarray(rd)[keep], dec[keep])
