@@ -7,6 +7,7 @@ from simxns_tpu.data.datasets import (
 from simxns_tpu.data.division import (
     divide_data, teacher_better_qids, first_relevant_rank)
 from simxns_tpu.data.collator import CondenserCollator, TokenMeta
+from simxns_tpu.data.mined import MinedDataset, from_mining_result
 
 __all__ = [
     "simans_weights", "sample_hard_negatives", "select_negatives",
@@ -14,5 +15,5 @@ __all__ = [
     "RetrievalExample", "RetrievalDataset", "RetrievalCollator",
     "load_wiki_json", "load_marco_tsv", "load_qa_csv", "load_passages_tsv",
     "divide_data", "teacher_better_qids", "first_relevant_rank",
-    "CondenserCollator", "TokenMeta",
+    "CondenserCollator", "TokenMeta", "MinedDataset", "from_mining_result",
 ]

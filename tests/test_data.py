@@ -153,3 +153,51 @@ def test_corpus_and_qa_loaders(tmp_path):
     t = tmp_path / "para.txt"
     t.write_text("7\tsome passage\n")
     assert load_id_text(str(t)) == {7: "some passage"}
+
+
+def test_mined_dataset_fast_path():
+    """Mine->train feedback without text round-trips: batches assembled by
+    corpus-row lookup, SimANS sampling on mined scores, joint splicing."""
+    from simxns_tpu.data import MinedDataset
+    rng = np.random.default_rng(20)
+    n_corpus, lc, q, k = 40, 12, 8, 10
+    tok = HashTokenizer(vocab_size=512)
+    corpus_ids = np.zeros((n_corpus, lc), np.int32)
+    for i in range(n_corpus):
+        enc = tok.encode(f"passage {i} text", max_length=lc)
+        corpus_ids[i, :len(enc)] = enc
+    query_ids = np.zeros((q, 10), np.int32)
+    for i in range(q):
+        enc = tok.encode(f"query {i}", max_length=10)
+        query_ids[i, :len(enc)] = enc
+    topk_ids = np.stack([rng.permutation(n_corpus)[:k] for _ in range(q)])
+    topk_scores = np.sort(rng.normal(size=(q, k)).astype(np.float32))[:, ::-1]
+    hit_mask = np.zeros((q, k), bool)
+    hit_mask[:, 1] = True       # second-ranked is the answer-bearing one
+    hit_mask[0, :] = False      # query 0 has no positive -> filtered
+
+    ds = MinedDataset(corpus_ids=corpus_ids, query_ids=query_ids,
+                      topk_ids=topk_ids, topk_scores=topk_scores,
+                      hit_mask=hit_mask, num_negatives=3,
+                      max_joint_length=20, sep_id=tok.sep_token_id)
+    assert len(ds) == q - 1
+    batch = next(ds.batches(batch_size=4, shuffle=False))
+    m = 4
+    assert batch["ctx_ids"].shape == (4 * m, lc)
+    assert batch["joint_ids"].shape == (4, m, 20)
+    # positive row is the corpus row of the first hit
+    qi = ds.valid[0]
+    pos_pid = topk_ids[qi][hit_mask[qi]][0]
+    np.testing.assert_array_equal(batch["ctx_ids"][0], corpus_ids[pos_pid])
+    # negatives come from non-hit mined ids
+    negs = set(topk_ids[qi][~hit_mask[qi]].tolist())
+    for j in range(1, m):
+        row = batch["ctx_ids"][j]
+        matches = [pid for pid in negs
+                   if np.array_equal(row, corpus_ids[pid])]
+        assert matches, "negative row not from mined non-hits"
+    # joint = query tokens then ctx tokens minus CLS
+    q_len = int(batch["q_mask"][0].sum())
+    np.testing.assert_array_equal(batch["joint_ids"][0, 0, :q_len],
+                                  batch["q_ids"][0, :q_len])
+    assert batch["joint_ids"][0, 0, q_len] == corpus_ids[pos_pid][1]
