@@ -58,6 +58,19 @@ class MetricLogger:
         self.phase_times[phase] = self.phase_times.get(phase, 0.0) + dt
         self.log(0, {"seconds": dt}, phase=f"timer/{phase}")
 
+    @contextmanager
+    def trace(self, name: str = "trace"):
+        """jax.profiler trace scope writing to ``output_dir/traces/<name>``
+        (the profiling the reference lacks entirely, SURVEY.md §5.1).
+        View with TensorBoard's profile plugin or Perfetto."""
+        import jax
+
+        path = os.path.join(self.output_dir or ".", "traces", name)
+        os.makedirs(path, exist_ok=True)
+        with jax.profiler.trace(path):
+            yield
+        logger.info("profiler trace written to %s", path)
+
     def close(self):
         if self._fh:
             self._fh.close()
