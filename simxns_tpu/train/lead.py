@@ -29,10 +29,42 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from simxns_tpu.losses.lead import (
-    grouped_slice, layer_score_distill_loss, layer_scores_from_cls,
-    pair_kl, query_doc_attention_maps, virt_loss)
+    attention_map_kl, grouped_slice, layer_score_distill_loss,
+    layer_scores_from_cls, pair_kl, query_doc_attention_maps, virt_loss)
 from simxns_tpu.models.colbert import maxsim_score
 from simxns_tpu.parallel.mesh import DATA_AXIS
+
+
+def ce_attention_targets(ce_attn_sel: jax.Array,   # [Lsel, B*M, H, Lj, Lj]
+                         q_len: jax.Array,          # [B] incl CLS+SEP
+                         d_len: jax.Array,          # [B*M] doc token count
+                         sq: int, sd: int):
+    """Slice CE attention maps to the (query x doc) region, statically.
+
+    The reference extracts ``att[:, 1:qlen-1, qlen:dend]`` per instance with
+    Python loops (``LEAD/util.py:685-700``); here rows/cols are gathered with
+    per-instance offsets so shapes stay [Lsel, B*M, sq, sd]. Heads are
+    averaged first (``torch.mean(attention_map_ce[i], dim=1)``).
+    Returns ``(targets, q_valid [B*M, sq], d_valid [B*M, sd])``.
+    """
+    att = ce_attn_sel.mean(axis=2)                  # [Lsel, B*M, Lj, Lj]
+    bm = att.shape[1]
+    m = bm // q_len.shape[0]
+    q_len_bm = jnp.repeat(q_len, m)                 # [B*M]
+    lj = att.shape[-1]
+    rows = jnp.clip(1 + jnp.arange(sq)[None, :], 0, lj - 1)          # [1, sq]
+    rows = jnp.broadcast_to(rows, (bm, sq))
+    cols = jnp.clip(q_len_bm[:, None] + jnp.arange(sd)[None, :], 0, lj - 1)
+
+    def gather_one(a, r, c):                        # a: [Lj, Lj]
+        return a[r][:, c]
+
+    targets = jax.vmap(                              # over Lsel
+        jax.vmap(gather_one, in_axes=(0, 0, 0)),     # over B*M
+        in_axes=(0, None, None))(att, rows, cols)
+    q_valid = (jnp.arange(sq)[None, :] < (q_len_bm - 2)[:, None])
+    d_valid = (jnp.arange(sd)[None, :] < d_len[:, None])
+    return targets, q_valid, d_valid
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,22 +105,30 @@ def make_lead_step(
               if getattr(cfg, f"distill_{k}") and k in models]
 
     def encoder_outputs(name, params, batch, sel):
-        """(final_scores [Q,C], layer_scores [Lsel,Q,C], q_hid, d_hid)."""
+        """dict with final scores, selected-layer scores, per-layer hiddens
+        (db/de) or selected-layer attention maps (ce)."""
         model = models[name]
         if name == "ce":
             n, m, lj = batch["joint_ids"].shape
             out = model.apply(params, batch["joint_ids"].reshape(n * m, lj),
                               batch["joint_mask"].reshape(n * m, lj),
-                              group_size=m, deterministic=True)
+                              group_size=m, deterministic=True,
+                              output_attentions=cfg.attention)
             final = out["logits"]                       # [N, M]
             layer = jnp.take(out["per_layer_logits"], sel, axis=0)
-            return final, layer, None, None
+            attn = None
+            if cfg.attention:
+                attn = jnp.take(jnp.stack(out["attentions"], axis=0),
+                                sel, axis=0)            # [Lsel, N*M, H, Lj, Lj]
+            return {"final": final, "layer": layer, "q_hid": None,
+                    "d_hid": None, "attn": attn}
         if name == "col":
             q_tok, d_tok = model.apply(
                 params, batch["q_ids"], batch["q_mask"],
                 batch["ctx_ids"], batch["ctx_mask"], deterministic=True)
             final = maxsim_score(q_tok, d_tok)          # [Q, D]
-            return final, None, None, None
+            return {"final": final, "layer": None, "q_hid": None,
+                    "d_hid": None, "attn": None}
         # db / de: BiEncoder with per-layer hiddens
         q_emb, q_out = model.apply(
             params, batch["q_ids"], batch["q_mask"], deterministic=True,
@@ -103,7 +143,8 @@ def make_lead_step(
         q_sel = jnp.take(q_layers, sel, axis=0)         # [Lsel, Q, Sq, H]
         d_sel = jnp.take(d_layers, sel, axis=0)
         layer = layer_scores_from_cls(q_sel[:, :, 0], d_sel[:, :, 0])
-        return final, layer, q_sel, d_sel
+        return {"final": final, "layer": layer, "q_hid": q_sel,
+                "d_hid": d_sel, "attn": None}
 
     def loss_fn(train_params, frozen_params, batch, sel_s, sel_t):
         params = {**frozen_params, **train_params}
@@ -119,13 +160,13 @@ def make_lead_step(
             sel = sel_s if name == "db" else sel_t
             p = (jax.lax.stop_gradient(params[name])
                  if name not in trained else params[name])
-            final, layer, q_hid, d_hid = encoder_outputs(name, p, batch, sel)
+            o = encoder_outputs(name, p, batch, sel)
             if use_grouped and name != "ce":
-                final = grouped_slice(final, m)
-                if layer is not None:
-                    layer = jax.vmap(grouped_slice, in_axes=(0, None))(layer, m)
-            outs[name] = {"final": final, "layer": layer,
-                          "q_hid": q_hid, "d_hid": d_hid}
+                o["final"] = grouped_slice(o["final"], m)
+                if o["layer"] is not None:
+                    o["layer"] = jax.vmap(grouped_slice,
+                                          in_axes=(0, None))(o["layer"], m)
+            outs[name] = o
 
         loss = 0.0
         metrics = {}
@@ -176,6 +217,29 @@ def make_lead_step(
                     l_att = virt_loss(t_maps, s_maps, cfg.para_attention)
                     metrics[f"loss_{t_name}_db_attention"] = l_att
                     loss = loss + l_att
+
+                if cfg.attention and t_name == "ce" \
+                        and outs["ce"]["attn"] is not None \
+                        and outs["db"]["q_hid"] is not None:
+                    # CE attention -> student q x d map KL
+                    # (LEAD/util.py:467-502 attention_map_loss)
+                    q_hid = outs["db"]["q_hid"]          # [Lsel, Q, Sq, H]
+                    d_hid = outs["db"]["d_hid"]          # [Lsel, Q*m, Sd, H]
+                    lsel, qn, sq, hh = q_hid.shape
+                    sd = d_hid.shape[2]
+                    d_g = d_hid.reshape(lsel, qn, m, sd, hh)
+                    s_maps = jnp.einsum(
+                        "lqsh,lqmth->lqmst", q_hid, d_g,
+                        preferred_element_type=jnp.float32
+                    ).reshape(lsel, qn * m, sq, sd)
+                    targets, q_valid, d_valid = ce_attention_targets(
+                        outs["ce"]["attn"], batch["q_mask"].sum(-1),
+                        batch["ctx_mask"].sum(-1), sq, sd)
+                    l_ce_att = attention_map_kl(s_maps, targets,
+                                                q_valid, d_valid)
+                    l_ce_att = cfg.para_attention * l_ce_att
+                    metrics["loss_ce_db_attention_map"] = l_ce_att
+                    loss = loss + l_ce_att
 
         return loss, metrics
 

@@ -165,7 +165,7 @@ def test_lead_step_four_models():
     for key in ("loss_db", "loss_de", "loss_de_db_dis", "loss_db_de_dis",
                 "loss_ce_db_dis", "loss_col_db_dis",
                 "loss_de_db_layer_dis", "loss_ce_db_layer_dis",
-                "loss_de_db_attention"):
+                "loss_de_db_attention", "loss_ce_db_attention_map"):
         assert key in metrics, key
     # frozen models unchanged, trained models stepped
     assert int(states["db"].step) == 1 and int(states["de"].step) == 1
