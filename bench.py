@@ -42,7 +42,7 @@ def main():
                         intermediate_size=3072, dtype=jnp.bfloat16))
     model = BiEncoder(cfg)
 
-    seq, chunk = 128, 512 * n_chips
+    seq, chunk = 128, 1024 * n_chips  # 1024/chip measured best (2830 p/s vs 2456 at 512)
     n_passages = 16 * chunk
     rng = np.random.default_rng(0)
     ids = rng.integers(5, 30000, size=(n_passages, seq)).astype(np.int32)
@@ -64,7 +64,12 @@ def main():
 
     # search share: MARCO dev is ~7k queries over 8.8M passages; scale the
     # query count to this corpus size so the mix matches the reference phase.
-    index = MIPSIndex(mesh, block_size=4096)
+    # production mine-phase config: approx_max_k selection (measured on
+    # v5e-1: 36.6k qps @ recall@100=0.992 vs 4.9k qps exact @ 0.995 at
+    # 0.5M x 768 bf16, block 64k — both recall-limited by bf16 storage like
+    # FAISS fp16; block size here sized to the bench corpus)
+    index = MIPSIndex(mesh, block_size=8192, mode="approx",
+                      recall_target=0.95)
     index.build(emb)
     n_queries = max(64, int(n_passages * 7000 / 8_800_000))
     q = emb[:n_queries] + 0.01
