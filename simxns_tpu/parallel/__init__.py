@@ -7,6 +7,7 @@ from simxns_tpu.parallel.mesh import (
     shard_batch,
     local_batch_size,
 )
+from simxns_tpu.parallel.tp import tp_param_shardings, shard_params
 from simxns_tpu.parallel.collectives import (
     all_gather_local_grad,
     all_gather_full_grad,
@@ -24,4 +25,6 @@ __all__ = [
     "all_gather_local_grad",
     "all_gather_full_grad",
     "gather_in_batch_negatives",
+    "tp_param_shardings",
+    "shard_params",
 ]

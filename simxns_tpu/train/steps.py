@@ -85,9 +85,17 @@ def with_grad_accum(loss_fn: Callable, micro_steps: int) -> Callable:
     return vg
 
 
-def _jit_step(fn, mesh, state_like=None):
+def _jit_step(fn, mesh, state_like=None, auto_state: bool = False):
+    """jit a ``(state, batch) -> (state, metrics)`` step over the mesh.
+
+    ``auto_state=True`` leaves the state's shardings unconstrained so
+    tensor-parallel param layouts (``parallel.tp.shard_params``) propagate
+    through the step instead of being forced to replicated.
+    """
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(DATA_AXIS))
+    if auto_state:
+        return jax.jit(fn, in_shardings=(None, shard), donate_argnums=(0,))
     return jax.jit(fn, in_shardings=(repl, shard), out_shardings=(repl, repl),
                    donate_argnums=(0,))
 
@@ -98,6 +106,7 @@ def make_biencoder_step(
     mesh,
     grad_mode: str = "full",
     score_scale: float = 1.0,
+    auto_state: bool = False,
 ) -> Callable:
     """In-batch contrastive step. Batch keys: q_ids/q_mask [N,Lq],
     ctx_ids/ctx_mask [N*M,Lc], positive_idx [N] (global flat index)."""
@@ -144,7 +153,7 @@ def make_biencoder_step(
         new_state = state.apply_gradients(grads, tx)
         return new_state, {"loss": loss, **aux}
 
-    return _jit_step(step, mesh)
+    return _jit_step(step, mesh, auto_state=auto_state)
 
 
 def make_reranker_step(ce_model, tx: optax.GradientTransformation, mesh,
@@ -179,6 +188,7 @@ def make_ar2_retriever_step(
     temperature: float = 1.0,
     adv_lambda: float = 0.5,
     scale_scores: Optional[float] = None,
+    auto_state: bool = False,
 ) -> Callable:
     """AR2 retriever step: KL to frozen reranker + adversarial reward.
 
@@ -220,5 +230,8 @@ def make_ar2_retriever_step(
         new_state = de_state.apply_gradients(grads, tx)
         return new_state, {"loss": loss, **aux}
 
+    if auto_state:
+        return jax.jit(step, in_shardings=(None, None, shard),
+                       donate_argnums=(0,))
     return jax.jit(step, in_shardings=(repl, repl, shard),
                    out_shardings=(repl, repl), donate_argnums=(0,))

@@ -115,3 +115,54 @@ def test_shard_batch_places_on_mesh():
     batch = {"ids": np.zeros((16, 4), np.int32), "y": np.zeros((16,), np.float32)}
     out = shard_batch(batch, mesh)
     assert out["ids"].sharding.spec == P(DATA_AXIS, None)
+
+
+def test_tensor_parallel_biencoder_step():
+    """2D (data=4, model=2) mesh: TP param shardings propagate through a
+    full train step and match the replicated-run numerics."""
+    import jax.numpy as jnp
+    from simxns_tpu.models import BiEncoder, BiEncoderConfig, BertConfig
+    from simxns_tpu.parallel import create_mesh as _cm
+    from simxns_tpu.parallel.mesh import MODEL_AXIS
+    from simxns_tpu.parallel.tp import shard_params, tp_param_shardings
+    from simxns_tpu.train import TrainState, make_adamw, make_biencoder_step
+    from simxns_tpu.parallel import shard_batch
+
+    mesh = _cm(n_data=4, n_model=2)
+    cfg = BertConfig.tiny(vocab_size=256, hidden_size=64)
+    model = BiEncoder(BiEncoderConfig(bert=cfg))
+    rng = np.random.default_rng(0)
+    n, m = 8, 2
+    q = rng.integers(4, 256, size=(n, 8)).astype(np.int32)
+    ctx = rng.integers(4, 256, size=(n * m, 10)).astype(np.int32)
+    batch = {"q_ids": q, "q_mask": np.ones_like(q), "ctx_ids": ctx,
+             "ctx_mask": np.ones_like(ctx),
+             "positive_idx": (np.arange(n) * m).astype(np.int32)}
+    params = model.init(jax.random.PRNGKey(0), q[:2], batch["q_mask"][:2],
+                        ctx[:2], batch["ctx_mask"][:2])
+
+    # TP layout: FFN/attention kernels sharded over the model axis
+    specs = tp_param_shardings(params, mesh)
+    inter = specs["params"]["question_model"]["encoder"]["layer_0"][
+        "intermediate"]["kernel"].spec
+    assert inter == P(None, MODEL_AXIS)
+    out_spec = specs["params"]["question_model"]["encoder"]["layer_0"][
+        "output"]["kernel"].spec
+    assert out_spec == P(MODEL_AXIS, None)
+
+    tx = make_adamw(1e-3, total_steps=0)
+    tp_params = shard_params(jax.tree.map(jnp.copy, params), mesh)
+    state_tp = TrainState.create(tp_params, tx)
+    state_rep = TrainState.create(params, tx)
+
+    dev = shard_batch(batch, mesh)
+    step_tp = make_biencoder_step(model, tx, mesh, auto_state=True)
+    step_rep = make_biencoder_step(model, tx, mesh)
+    state_tp, m_tp = step_tp(state_tp, dev)
+    state_rep, m_rep = step_rep(state_rep, dev)
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_rep["loss"]),
+                               rtol=1e-5)
+    # TP layout preserved after the step (donated + re-emitted)
+    post = state_tp.params["params"]["question_model"]["encoder"]["layer_0"][
+        "intermediate"]["kernel"]
+    assert MODEL_AXIS in str(post.sharding.spec)
