@@ -57,7 +57,10 @@ class CorpusEncoder:
     def __call__(self, params, token_ids: np.ndarray, attention_mask: np.ndarray,
                  out_dtype=np.float32) -> np.ndarray:
         n = token_ids.shape[0]
-        chunks = []
+        # Dispatch every chunk before materializing any: jax execution is
+        # async, so transfers and encodes of successive chunks pipeline
+        # instead of a host sync per chunk (np.asarray) serializing them.
+        pending = []
         for s in range(0, n, self.chunk_size):
             ids = token_ids[s: s + self.chunk_size]
             mask = attention_mask[s: s + self.chunk_size]
@@ -67,8 +70,10 @@ class CorpusEncoder:
                 ids = np.pad(ids, ((0, pad), (0, 0)))
                 mask = np.pad(mask, ((0, pad), (0, 0)))
             emb = self._encode(params, jnp.asarray(ids), jnp.asarray(mask))
-            chunks.append(np.asarray(emb, dtype=out_dtype)[:valid])
-        return np.concatenate(chunks, axis=0)
+            pending.append((emb, valid))
+        return np.concatenate(
+            [np.asarray(emb, dtype=out_dtype)[:valid]
+             for emb, valid in pending], axis=0)
 
 
 class MIPSIndex:
