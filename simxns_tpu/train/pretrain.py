@@ -16,7 +16,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from simxns_tpu.parallel.mesh import DATA_AXIS
 
 
-def make_condenser_step(model, tx: optax.GradientTransformation, mesh
+def make_condenser_step(model, tx: optax.GradientTransformation, mesh,
+                        dropout: bool = False, dropout_seed: int = 3
                         ) -> Callable:
     """``step(state, batch) -> (state, metrics)`` for the Condenser model.
 
@@ -24,16 +25,23 @@ def make_condenser_step(model, tx: optax.GradientTransformation, mesh
     (device-put with the batch dim sharded over ``data``).
     """
 
-    def loss_fn(params, batch):
-        total, parts = model.apply(params, batch, deterministic=True)
+    def loss_fn(params, batch, rngs, det):
+        total, parts = model.apply(params, batch, deterministic=det,
+                                   rngs=rngs)
         return total, parts
 
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(DATA_AXIS))
 
     def step(state, batch):
+        if dropout:
+            rngs = {"dropout": jax.random.fold_in(
+                jax.random.PRNGKey(dropout_seed), state.step)}
+            det = False
+        else:
+            rngs, det = {}, True
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch)
+            state.params, batch, rngs, det)
         new_state = state.apply_gradients(grads, tx)
         return new_state, {"loss": loss, **parts}
 

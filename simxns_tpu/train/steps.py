@@ -107,26 +107,41 @@ def make_biencoder_step(
     grad_mode: str = "full",
     score_scale: float = 1.0,
     auto_state: bool = False,
+    dropout: bool = False,
+    dropout_seed: int = 0,
 ) -> Callable:
     """In-batch contrastive step. Batch keys: q_ids/q_mask [N,Lq],
-    ctx_ids/ctx_mask [N*M,Lc], positive_idx [N] (global flat index)."""
+    ctx_ids/ctx_mask [N*M,Lc], positive_idx [N] (global flat index).
+
+    ``dropout=True`` enables train-mode dropout (the reference trains with
+    p=0.1); the rng is folded from ``state.step`` so runs are reproducible
+    and every step uses fresh masks.
+    """
 
     n_data = mesh.shape[DATA_AXIS]
 
-    def loss_full(params, batch):
+    def _rngs(step):
+        if not dropout:
+            return {}, True
+        key = jax.random.fold_in(jax.random.PRNGKey(dropout_seed), step)
+        return {"dropout": key}, False
+
+    def loss_full(params, batch, rngs, det):
         q_emb, ctx_emb = model.apply(
             params, batch["q_ids"], batch["q_mask"],
-            batch["ctx_ids"], batch["ctx_mask"], deterministic=True)
+            batch["ctx_ids"], batch["ctx_mask"], deterministic=det,
+            rngs=rngs)
         loss, correct = in_batch_nll(q_emb, ctx_emb, batch["positive_idx"],
                                      score_scale=score_scale)
         return loss, {"correct": correct}
 
-    def loss_local(params, batch):
+    def loss_local(params, batch, rngs, det):
         # Reference gradient contract: softmax over gathered (global)
         # contexts, grads through local shard only.
         def shard_fn(q_ids, q_mask, ctx_ids, ctx_mask, pos_idx):
             q_emb, ctx_emb = model.apply(params, q_ids, q_mask,
-                                         ctx_ids, ctx_mask, deterministic=True)
+                                         ctx_ids, ctx_mask, deterministic=det,
+                                         rngs=rngs)
             g_ctx = all_gather_local_grad(ctx_emb, DATA_AXIS)
             # batch["positive_idx"] is already a *global* flat index and the
             # gathered ctx matrix is in global device-major order, so no
@@ -148,8 +163,9 @@ def make_biencoder_step(
     loss_fn = loss_full if grad_mode == "full" else loss_local
 
     def step(state, batch):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch)
+        rngs, det = _rngs(state.step)
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, rngs, det)
         new_state = state.apply_gradients(grads, tx)
         return new_state, {"loss": loss, **aux}
 
@@ -157,23 +173,30 @@ def make_biencoder_step(
 
 
 def make_reranker_step(ce_model, tx: optax.GradientTransformation, mesh,
-                       group_size: int) -> Callable:
+                       group_size: int, dropout: bool = False,
+                       dropout_seed: int = 1) -> Callable:
     """Cross-encoder CE step. Batch keys: joint_ids/joint_mask [N, M, Lj];
     positive at column 0 (reference target tensor of zeros)."""
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, rngs, det):
         n, m, lj = batch["joint_ids"].shape
         out = ce_model.apply(params, batch["joint_ids"].reshape(n * m, lj),
                              batch["joint_mask"].reshape(n * m, lj),
-                             group_size=m, deterministic=True)
+                             group_size=m, deterministic=det, rngs=rngs)
         logits = out["logits"]
         loss = grouped_nll(logits)
         correct = jnp.sum((jnp.argmax(logits, axis=1) == 0).astype(jnp.int32))
         return loss, {"correct": correct}
 
     def step(state, batch):
+        if dropout:
+            rngs = {"dropout": jax.random.fold_in(
+                jax.random.PRNGKey(dropout_seed), state.step)}
+            det = False
+        else:
+            rngs, det = {}, True
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch)
+            state.params, batch, rngs, det)
         new_state = state.apply_gradients(grads, tx)
         return new_state, {"loss": loss, **aux}
 
@@ -189,19 +212,26 @@ def make_ar2_retriever_step(
     adv_lambda: float = 0.5,
     scale_scores: Optional[float] = None,
     auto_state: bool = False,
+    dropout: bool = False,
+    dropout_seed: int = 2,
 ) -> Callable:
     """AR2 retriever step: KL to frozen reranker + adversarial reward.
+
+    With ``dropout=True`` the trained retriever runs in train mode while the
+    frozen reranker stays eval-mode — exactly the reference's
+    ``model.train(); reranker_model.eval()`` (:196-197).
 
     ``step(de_state, ce_params, batch)``; batch needs retriever inputs
     (q/ctx) AND the joint reranker inputs for the frozen teacher forward.
     """
     n_data = mesh.shape[DATA_AXIS]
 
-    def loss_fn(params, ce_params, batch):
+    def loss_fn(params, ce_params, batch, rngs, det):
         n, m, lj = batch["joint_ids"].shape
         q_emb, ctx_emb = de_model.apply(
             params, batch["q_ids"], batch["q_mask"],
-            batch["ctx_ids"], batch["ctx_mask"], deterministic=True)
+            batch["ctx_ids"], batch["ctx_mask"], deterministic=det,
+            rngs=rngs)
         groups = ctx_emb.reshape(n, m, -1)
         scores = jnp.einsum("bh,bmh->bm", q_emb, groups,
                             preferred_element_type=jnp.float32)
@@ -225,8 +255,14 @@ def make_ar2_retriever_step(
     shard = NamedSharding(mesh, P(DATA_AXIS))
 
     def step(de_state, ce_params, batch):
+        if dropout:
+            rngs = {"dropout": jax.random.fold_in(
+                jax.random.PRNGKey(dropout_seed), de_state.step)}
+            det = False
+        else:
+            rngs, det = {}, True
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            de_state.params, ce_params, batch)
+            de_state.params, ce_params, batch, rngs, det)
         new_state = de_state.apply_gradients(grads, tx)
         return new_state, {"loss": loss, **aux}
 

@@ -207,3 +207,36 @@ def test_export_encoder_only():
     params = {"encoder": {"w": 1}, "c_head": {"w": 2}, "query_head": {"w": 3}}
     out = export_encoder_only(params)
     assert "encoder" in out and "c_head" not in out and "query_head" not in out
+
+
+def test_dropout_training_mode():
+    """dropout=True uses fresh masks per step (losses differ across repeats
+    on identical data) and trains; dropout=False is deterministic."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(9)
+    cfg = CFG.replace(hidden_dropout=0.3)
+    model = BiEncoder(BiEncoderConfig(bert=cfg))
+    batch = _de_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch["q_ids"][:2],
+                        batch["q_mask"][:2], batch["ctx_ids"][:2],
+                        batch["ctx_mask"][:2])
+    tx = make_adamw(0.0, total_steps=0)  # lr 0: params frozen, loss isolates rng
+    dev = shard_batch({k: v for k, v in batch.items()
+                       if k not in ("joint_ids", "joint_mask")}, mesh)
+
+    params2 = jax.tree.map(jnp.copy, params)   # steps donate their state
+    step_d = make_biencoder_step(model, tx, mesh, dropout=True)
+    state = TrainState.create(params, tx)
+    losses = []
+    for _ in range(3):
+        state, m = step_d(state, dev)
+        losses.append(float(m["loss"]))
+    assert len(set(np.round(losses, 6))) == 3  # fresh mask each step
+
+    step_nd = make_biencoder_step(model, tx, mesh, dropout=False)
+    state2 = TrainState.create(params2, tx)
+    l_nd = []
+    for _ in range(2):
+        state2, m = step_nd(state2, dev)
+        l_nd.append(float(m["loss"]))
+    assert l_nd[0] == l_nd[1]  # deterministic without dropout
