@@ -119,7 +119,10 @@ class MIPSIndex:
         self.embeddings = jax.lax.dynamic_update_slice(
             self.embeddings, arr, (start, 0))
 
-    def _make_search(self, k: int, q_len: int) -> Callable:
+    def _make_search_fn(self, k: int) -> Callable:
+        """Raw (jittable) sharded search fn ``(queries, embeddings) ->
+        (scores, ids)`` — composable inside larger jitted programs (e.g. the
+        serving facade's fused encode+search)."""
         mesh, block = self.mesh, self.block_size
         shard_rows = self.embeddings.shape[0] // self.n_shards
         num_rows = self.num_rows
@@ -141,13 +144,15 @@ class MIPSIndex:
             g_ids = jax.lax.all_gather(ids, DATA_AXIS)
             return merge_topk(g_scores, g_ids, k)
 
-        fn = jax.shard_map(
+        return jax.shard_map(
             local_search, mesh=mesh,
             in_specs=(P(), P(DATA_AXIS, None)),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return jax.jit(fn)
+
+    def _make_search(self, k: int, q_len: int) -> Callable:
+        return jax.jit(self._make_search_fn(k))
 
     def search(self, queries: np.ndarray, k: int,
                query_batch: int = 1024) -> Tuple[np.ndarray, np.ndarray]:
