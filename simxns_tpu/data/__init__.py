@@ -8,6 +8,7 @@ from simxns_tpu.data.division import (
     divide_data, teacher_better_qids, first_relevant_rank)
 from simxns_tpu.data.collator import CondenserCollator, TokenMeta
 from simxns_tpu.data.mined import MinedDataset, from_mining_result
+from simxns_tpu.data.datasets import load_qrels, load_trec_qrels
 
 __all__ = [
     "simans_weights", "sample_hard_negatives", "select_negatives",
@@ -15,5 +16,5 @@ __all__ = [
     "RetrievalExample", "RetrievalDataset", "RetrievalCollator",
     "load_wiki_json", "load_marco_tsv", "load_qa_csv", "load_passages_tsv",
     "divide_data", "teacher_better_qids", "first_relevant_rank",
-    "CondenserCollator", "TokenMeta", "MinedDataset", "from_mining_result",
+    "CondenserCollator", "TokenMeta", "MinedDataset", "from_mining_result", "load_qrels", "load_trec_qrels",
 ]

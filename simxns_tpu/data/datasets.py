@@ -260,3 +260,37 @@ class RetrievalDataset:
             if drop_last and len(idx) < batch_size:
                 break
             yield self.collator([self.examples[i] for i in idx], self.rng)
+
+
+def load_qrels(path: str) -> Dict[str, list]:
+    """MARCO qrels: ``qid\\tpid`` 2-col (the reference's preprocessed form,
+    ``inference_DE_marco.py:446-464``) or official 4-col TREC
+    ``qid\\t0\\tpid\\trel`` (rel>0 rows only). Returns qid -> [pids]."""
+    out: Dict[str, list] = {}
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split("\t")
+            if len(parts) >= 4:
+                qid, pid, rel = parts[0], parts[2], int(parts[3])
+                if rel <= 0:
+                    continue
+            elif len(parts) >= 2:
+                qid, pid = parts[0], parts[1]
+            else:
+                continue
+            out.setdefault(qid, []).append(int(pid))
+    return out
+
+
+def load_trec_qrels(path: str) -> Dict[str, Dict[int, int]]:
+    """Graded TREC qrels (``qid 0 pid grade``, space or tab separated) for
+    nDCG evaluation (``CAPSTONE/utils/evaluate_trec.py``)."""
+    out: Dict[str, Dict[int, int]] = {}
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 4:
+                continue
+            qid, _, pid, grade = parts[:4]
+            out.setdefault(qid, {})[int(pid)] = int(grade)
+    return out

@@ -109,3 +109,51 @@ def test_has_answer_regex():
 def test_check_answer_hit_list():
     hits = check_answer(["blue"], ["the sky is blue", "grass is green"])
     assert hits == [True, False]
+
+
+def test_qrels_loaders(tmp_path):
+    from simxns_tpu.data import load_qrels, load_trec_qrels
+    p2 = tmp_path / "qrels2.tsv"
+    p2.write_text("q1\t55\nq1\t66\nq2\t7\n")
+    assert load_qrels(str(p2)) == {"q1": [55, 66], "q2": [7]}
+    p4 = tmp_path / "qrels4.tsv"
+    p4.write_text("q1\t0\t55\t1\nq1\t0\t66\t0\nq2\t0\t7\t2\n")
+    assert load_qrels(str(p4)) == {"q1": [55], "q2": [7]}
+    g = tmp_path / "trec.qrels"
+    g.write_text("q1 0 55 3\nq1 0 66 1\n")
+    assert load_trec_qrels(str(g)) == {"q1": {55: 3, 66: 1}}
+
+
+def test_ce_rerank():
+    import jax
+    from simxns_tpu.evals import build_joint_inputs, rerank_topk
+    from simxns_tpu.models import CrossEncoder, CrossEncoderConfig, BertConfig
+    from simxns_tpu.data import HashTokenizer
+
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.default_rng(0)
+    n_corpus, lc = 20, 12
+    corpus_ids = np.zeros((n_corpus, lc), np.int32)
+    for i in range(n_corpus):
+        enc = tok.encode(f"passage {i}", max_length=lc)
+        corpus_ids[i, :len(enc)] = enc
+    query_ids = np.zeros((3, 8), np.int32)
+    for i in range(3):
+        enc = tok.encode(f"query {i}", max_length=8)
+        query_ids[i, :len(enc)] = enc
+    topk = np.stack([rng.permutation(n_corpus)[:5] for _ in range(3)])
+    joints = build_joint_inputs(query_ids, corpus_ids, topk, 20,
+                                pad_id=0, sep_id=tok.sep_token_id)
+    assert joints.shape == (3, 5, 20)
+    q_len = int((query_ids[0] != 0).sum())
+    np.testing.assert_array_equal(joints[0, :, :q_len],
+                                  np.tile(query_ids[0][:q_len], (5, 1)))
+
+    ce = CrossEncoder(CrossEncoderConfig(bert=BertConfig.tiny(vocab_size=512)))
+    params = ce.init(jax.random.PRNGKey(0), joints.reshape(-1, 20)[:2],
+                     np.ones((2, 20), np.int32))
+    scores, order = rerank_topk(ce, params, joints, batch=8)
+    assert scores.shape == (3, 5) and order.shape == (3, 5)
+    # order actually sorts the scores descending
+    sorted_scores = np.take_along_axis(scores, order, axis=1)
+    assert (np.diff(sorted_scores, axis=1) <= 1e-6).all()
