@@ -294,3 +294,26 @@ def load_trec_qrels(path: str) -> Dict[str, Dict[int, int]]:
             qid, _, pid, grade = parts[:4]
             out.setdefault(qid, {})[int(pid)] = int(grade)
     return out
+
+
+def pack_msdoc_text(url: str, title: str, body: str,
+                    sep: str = "<sep>") -> str:
+    """MS-Doc passage text = ``url<sep>title<sep>body``
+    (``Doc_training/co_training_generate_new_train.py:385-396``); the
+    reference truncates to 128 tokens downstream via max_ctx_length."""
+    return f"{url}{sep}{title}{sep}{body}"
+
+
+def load_msdoc_tsv(path: str) -> List[Tuple[int, str]]:
+    """``msmarco-docs.tsv``: ``id\turl\ttitle\tbody`` -> [(pid, packed text)].
+    Document ids like ``D12345`` are mapped to their integer part."""
+    rows = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 4:
+                continue
+            raw_id = parts[0]
+            pid = int(raw_id[1:]) if raw_id[:1] == "D" else int(raw_id)
+            rows.append((pid, pack_msdoc_text(parts[1], parts[2], parts[3])))
+    return rows

@@ -50,6 +50,54 @@ def soft_kd_loss(kd_type: str, student_scores, teacher_scores, target_idx,
     raise ValueError(f"unknown KD_type {kd_type!r}")
 
 
+def make_ce_kd_step(
+    student_ce,
+    tx: optax.GradientTransformation,
+    mesh,
+    kd_type: str = "KD_softmax",
+    temperature: float = 1.0,
+    ce_weight: float = 1.0,
+    kd_weight: float = 1.0,
+    teacher_ce=None,
+) -> Callable:
+    """CE -> CE distillation (``Cross2CrossKDLoss``, the 24L->12L reranker
+    compression stage of PROD): grouped hard CE at column 0 plus soft KD
+    between the two rerankers' group logits.
+
+    ``step(student_state, teacher_params, batch) -> (state, metrics)``.
+    """
+
+    def loss_fn(params, t_params, batch):
+        n, m, lj = batch["joint_ids"].shape
+        flat_ids = batch["joint_ids"].reshape(n * m, lj)
+        flat_mask = batch["joint_mask"].reshape(n * m, lj)
+        s_out = student_ce.apply(params, flat_ids, flat_mask, group_size=m,
+                                 deterministic=True)
+        t_out = teacher_ce.apply(t_params, flat_ids, flat_mask, group_size=m,
+                                 deterministic=True)
+        s_logits = s_out["logits"]
+        t_logits = jax.lax.stop_gradient(t_out["logits"])
+        logp = jax.nn.log_softmax(s_logits.astype(jnp.float32), axis=1)
+        hard = -logp[:, 0].mean()
+        soft = soft_kd_loss(kd_type, s_logits, t_logits,
+                            jnp.zeros((n,), jnp.int32), temperature)
+        correct = jnp.sum((jnp.argmax(s_logits, 1) == 0).astype(jnp.int32))
+        return ce_weight * hard + kd_weight * soft, {
+            "hard_loss": hard, "soft_loss": soft, "correct": correct}
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+
+    def step(state, teacher_params, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, teacher_params, batch)
+        new_state = state.apply_gradients(grads, tx)
+        return new_state, {"loss": loss, **aux}
+
+    return jax.jit(step, in_shardings=(repl, repl, shard),
+                   out_shardings=(repl, repl), donate_argnums=(0,))
+
+
 def make_kd_step(
     student_model,
     tx: optax.GradientTransformation,

@@ -150,3 +150,38 @@ def test_teacher_better_selection():
     # student rank in 2..15 AND teacher rank == 1 -> q1, q3
     got = teacher_better_qids(student, teacher, qrels)
     assert got == {"q1", "q3"}
+
+
+def test_ce_to_ce_distillation():
+    """Cross2Cross: 2-layer CE student distills a 2-layer trained teacher."""
+    from simxns_tpu.train import make_ce_kd_step, make_reranker_step
+    mesh = create_mesh()
+    rng = np.random.default_rng(6)
+    batch = _batch(rng, n=8, m=3)
+    n, m, lj = batch["joint_ids"].shape
+    batch["joint_ids"][:, 0, 5] = 9   # learnable marker
+    teacher = CrossEncoder(CrossEncoderConfig(bert=CFG))
+    student = CrossEncoder(CrossEncoderConfig(bert=CFG.replace(num_layers=1)))
+    t_params = teacher.init(jax.random.PRNGKey(0),
+                            batch["joint_ids"].reshape(n * m, lj)[:2],
+                            batch["joint_mask"].reshape(n * m, lj)[:2])
+    s_params = student.init(jax.random.PRNGKey(1),
+                            batch["joint_ids"].reshape(n * m, lj)[:2],
+                            batch["joint_mask"].reshape(n * m, lj)[:2])
+    tx = make_adamw(2e-3, total_steps=0)
+    dev = shard_batch({"joint_ids": batch["joint_ids"],
+                       "joint_mask": batch["joint_mask"]}, mesh)
+    # warm the teacher
+    t_state = TrainState.create(t_params, tx)
+    t_step = make_reranker_step(teacher, tx, mesh, group_size=m)
+    for _ in range(10):
+        t_state, tm = t_step(t_state, dev)
+    # distill
+    s_state = TrainState.create(s_params, tx)
+    step = make_ce_kd_step(student, tx, mesh, teacher_ce=teacher)
+    losses = []
+    for _ in range(10):
+        s_state, sm = step(s_state, t_state.params, dev)
+        losses.append(float(sm["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(sm["correct"]) >= 6
