@@ -172,6 +172,41 @@ def make_biencoder_step(
     return _jit_step(step, mesh, auto_state=auto_state)
 
 
+def make_colbert_step(
+    colbert_model,
+    tx: optax.GradientTransformation,
+    mesh,
+    group_size: int = 1,
+) -> Callable:
+    """ColBERT in-batch contrastive step (LEAD's single-model trainer,
+    ``run_single_model.py`` + ``get_loss_dual`` ``util.py:416-451``): MaxSim
+    scores of every query against every doc token set, NLL with the positive
+    at ``i * group_size``. Masked doc tokens are zero vectors (cosine mode),
+    matching the -1e4 fill's effect in the reference.
+    """
+    from simxns_tpu.models.colbert import maxsim_score
+
+    def loss_fn(params, batch):
+        q_tok, d_tok = colbert_model.apply(
+            params, batch["q_ids"], batch["q_mask"],
+            batch["ctx_ids"], batch["ctx_mask"], deterministic=True)
+        scores = maxsim_score(q_tok, d_tok)          # [Q, D]
+        n = scores.shape[0]
+        target = jnp.arange(n, dtype=jnp.int32) * group_size
+        logp = jax.nn.log_softmax(scores.astype(jnp.float32), axis=1)
+        loss = -jnp.take_along_axis(logp, target[:, None], 1).mean()
+        correct = jnp.sum((jnp.argmax(scores, 1) == target).astype(jnp.int32))
+        return loss, {"correct": correct}
+
+    def step(state, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        new_state = state.apply_gradients(grads, tx)
+        return new_state, {"loss": loss, **aux}
+
+    return _jit_step(step, mesh)
+
+
 def make_reranker_step(ce_model, tx: optax.GradientTransformation, mesh,
                        group_size: int, dropout: bool = False,
                        dropout_seed: int = 1) -> Callable:

@@ -240,3 +240,30 @@ def test_dropout_training_mode():
         state2, m = step_nd(state2, dev)
         l_nd.append(float(m["loss"]))
     assert l_nd[0] == l_nd[1]  # deterministic without dropout
+
+
+def test_colbert_step_trains():
+    from simxns_tpu.models import ColBERT, ColBERTConfig
+    from simxns_tpu.train import make_colbert_step
+    mesh = create_mesh()
+    rng = np.random.default_rng(11)
+    model = ColBERT(ColBERTConfig(bert=CFG, dim=16))
+    n, m = 16, 2
+    q = rng.integers(4, 512, size=(n, 8)).astype(np.int32)
+    ctx = rng.integers(4, 512, size=(n * m, 10)).astype(np.int32)
+    for i in range(n):
+        ctx[i * m, :4] = q[i, :4]
+    batch = {"q_ids": q, "q_mask": np.ones_like(q),
+             "ctx_ids": ctx, "ctx_mask": np.ones_like(ctx)}
+    params = model.init(jax.random.PRNGKey(0), q[:2], batch["q_mask"][:2],
+                        ctx[:2], batch["ctx_mask"][:2])
+    tx = make_adamw(2e-3, total_steps=0)
+    state = TrainState.create(params, tx)
+    step = make_colbert_step(model, tx, mesh, group_size=m)
+    dev = shard_batch(batch, mesh)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, dev)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(metrics["correct"]) >= 12
