@@ -169,3 +169,22 @@ def trec_ndcg_at_k(
         idcg = sum((2 ** g - 1) / math.log2(r + 2) for r, g in enumerate(ideal))
         total += dcg / idcg if idcg > 0 else 0.0
     return total / max(count, 1)
+
+
+def write_eval_result(path: str, top_k_hits: Sequence[float],
+                      results_list: Sequence[Sequence[bool]]) -> dict:
+    """Write the reference's ``*_eval_result<step>.json`` contract:
+    ``{top1, top5, top20, top100, result_dict: {MRR_n@_k, ...}}``
+    (``co_training_generate_new_train_wiki.py:384-387``, SURVEY.md App. A).
+    """
+    import json
+
+    def at(k):
+        return top_k_hits[k - 1] if len(top_k_hits) >= k else (
+            top_k_hits[-1] if top_k_hits else 0.0)
+
+    payload = {"top1": at(1), "top5": at(5), "top20": at(20),
+               "top100": at(100), "result_dict": get_metrics(results_list)}
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(payload, f, indent=2)
+    return payload

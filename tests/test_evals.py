@@ -157,3 +157,15 @@ def test_ce_rerank():
     # order actually sorts the scores descending
     sorted_scores = np.take_along_axis(scores, order, axis=1)
     assert (np.diff(sorted_scores, axis=1) <= 1e-6).all()
+
+
+def test_write_eval_result(tmp_path):
+    import json
+    from simxns_tpu.evals import write_eval_result, top_k_hits_accuracy
+    hits = [[False, True] + [False] * 98, [True] + [False] * 99]
+    curve = top_k_hits_accuracy(hits)
+    out = write_eval_result(str(tmp_path / "e.json"), curve, hits)
+    loaded = json.load(open(tmp_path / "e.json"))
+    assert loaded["top1"] == 0.5 and loaded["top5"] == 1.0
+    assert loaded["top100"] == 1.0
+    assert "MRR_n@_10" in loaded["result_dict"]

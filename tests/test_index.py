@@ -149,3 +149,23 @@ def test_approx_mode_padding_safe():
     _, ids = index.search(corpus[:4], 5)
     assert (ids >= 0).all() and (ids < 10).all()
     assert ids[:, 0].tolist() == [0, 1, 2, 3]
+
+
+def test_index_scale_2m_rows_cpu_mesh():
+    """Distributed merge correctness at scale: 2M-row index over 8 shards —
+    sampled queries must return exact oracle ids (exact mode, f32)."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(11)
+    n, h, k = 2_000_000, 16, 10
+    corpus = rng.standard_normal((n, h), dtype=np.float32)
+    queries = rng.standard_normal((8, h), dtype=np.float32)
+    index = MIPSIndex(mesh, block_size=65536, store_dtype=jnp.float32)
+    index.build(corpus)
+    scores, ids = index.search(queries, k, query_batch=8)
+    oracle = np.argpartition(-(queries @ corpus.T), k, axis=1)[:, :k]
+    for qi in range(8):
+        assert set(ids[qi]) == set(oracle[qi].tolist()), qi
+    # scores strictly descending and consistent with dot products
+    got = np.take_along_axis(queries @ corpus.T, ids, axis=1)
+    np.testing.assert_allclose(scores, got, rtol=1e-5)
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
