@@ -47,3 +47,44 @@ def make_condenser_step(model, tx: optax.GradientTransformation, mesh,
 
     return jax.jit(step, in_shardings=(repl, shard),
                    out_shardings=(repl, repl), donate_argnums=(0,))
+
+
+def make_electra_step(model, tx: optax.GradientTransformation, mesh,
+                      mask_id: int, dropout: bool = False,
+                      dropout_seed: int = 4) -> Callable:
+    """ELECTRA Condenser step (``MASTER/pretrain/trainer.py:35-93`` +
+    ``ELECTRACondenserForPretraining.forward``): each step first generates
+    realistic corruptions under stop-grad — masked positions are filled by
+    the c_head's argmax predictions conditioned on the in-batch-*nearest*
+    example's CLS — then trains the 4-loss ELECTRA objective on the
+    replaced inputs. One jitted program per step.
+    """
+    from simxns_tpu.models.condenser import generate_replaced_ids
+
+    def loss_fn(params, batch, rngs, det):
+        total, parts = model.apply(params, batch, deterministic=det,
+                                   rngs=rngs, method="electra_forward")
+        return total, parts
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+
+    def step(state, batch):
+        replaced_decoder, replaced_input = generate_replaced_ids(
+            model, state.params, batch, mask_id)
+        b2 = dict(batch)
+        b2["decoder_input_ids"] = replaced_decoder
+        b2["input_ids"] = replaced_input
+        if dropout:
+            rngs = {"dropout": jax.random.fold_in(
+                jax.random.PRNGKey(dropout_seed), state.step)}
+            det = False
+        else:
+            rngs, det = {}, True
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, b2, rngs, det)
+        new_state = state.apply_gradients(grads, tx)
+        return new_state, {"loss": loss, **parts}
+
+    return jax.jit(step, in_shardings=(repl, shard),
+                   out_shardings=(repl, repl), donate_argnums=(0,))

@@ -169,3 +169,28 @@ def test_electra_variant_and_replaced_ids():
     # non-mask positions untouched
     keep = ~masked
     np.testing.assert_array_equal(np.asarray(rd)[keep], dec[keep])
+
+
+def test_electra_step_trains():
+    from simxns_tpu.train import make_electra_step
+    mesh = create_mesh()
+    rng = np.random.default_rng(9)
+    meta = _meta()
+    coll = CondenserCollator(meta, max_seq_length=32, seed=10)
+    model = Condenser(CondenserConfig(bert=CFG, n_head_layers=1))
+    batch0 = coll(_examples(rng, n=8))
+    params = model.init(jax.random.PRNGKey(0),
+                        {k: v[:2] for k, v in batch0.items()})
+    tx = make_adamw(5e-4, total_steps=0)
+    state = TrainState.create(params, tx)
+    step = make_electra_step(model, tx, mesh, mask_id=meta.mask_id)
+    # fixed batch: random-token content is only learnable by memorization,
+    # which is exactly what should drive the loss down here
+    dev = shard_batch(batch0, mesh)
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, dev)
+        losses.append(float(metrics["loss"]))
+    assert set(metrics) >= {"loss", "mlm", "c_head", "next", "overlap"}
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
