@@ -248,9 +248,11 @@ class RetrievalEngine:
     ``passages`` maps pid -> (text, title).
     """
 
-    def __init__(self, index: MIPSIndex, passages: Dict[int, Tuple[str, str]]):
+    def __init__(self, index: MIPSIndex, passages: Dict[int, Tuple[str, str]],
+                 logger=None):
         self.index = index
         self.passages = passages
+        self.logger = logger          # optional MetricLogger for phase timers
 
     def mine(
         self,
@@ -262,13 +264,20 @@ class RetrievalEngine:
         gold_positives: Optional[Dict[str, dict]] = None,
         match_type: str = "string",
     ) -> MiningResult:
-        scores, ids = self.index.search(query_embeddings, k)
-        hits = [
-            [has_answer(answers[qi], self.passages.get(int(pid), ("", ""))[0],
-                        match_type)
-             for pid in ids[qi]]
-            for qi in range(len(questions))
-        ]
+        import contextlib
+
+        timed = (self.logger.timed if self.logger is not None
+                 else (lambda name: contextlib.nullcontext()))
+        with timed("search"):
+            scores, ids = self.index.search(query_embeddings, k)
+        with timed("hit_labeling"):
+            hits = [
+                [has_answer(answers[qi],
+                            self.passages.get(int(pid), ("", ""))[0],
+                            match_type)
+                 for pid in ids[qi]]
+                for qi in range(len(questions))
+            ]
         q_ids = q_ids if q_ids is not None else [str(i) for i in range(len(questions))]
         train = reform_out(questions, answers, q_ids, ids, scores, hits,
                            self.passages, gold_positives)

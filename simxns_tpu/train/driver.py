@@ -66,6 +66,7 @@ class AR2CoTrainer:
         batches: Callable,
         refresh_fn: Optional[Callable] = None,
         checkpoint_fn: Optional[Callable] = None,
+        metric_logger=None,
     ):
         self.mesh = mesh
         self.cfg = cfg
@@ -76,6 +77,7 @@ class AR2CoTrainer:
         self.batches = batches
         self.refresh_fn = refresh_fn
         self.checkpoint_fn = checkpoint_fn
+        self.metric_logger = metric_logger
         self.global_step = 0
         self.history: List[Dict] = []
 
@@ -120,6 +122,10 @@ class AR2CoTrainer:
                        "sec": time.time() - t0}
                 self.history.append(rec)
                 logger.info("%s", rec)
+                if self.metric_logger is not None:
+                    self.metric_logger.log(
+                        self.global_step,
+                        {"loss": rec["loss"]}, phase=which)
 
             if self.global_step % cfg.iteration_step == 0:
                 if self.checkpoint_fn is not None:
