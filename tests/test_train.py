@@ -267,3 +267,68 @@ def test_colbert_step_trains():
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]
     assert int(metrics["correct"]) >= 12
+
+
+def test_ar2_checkpoint_resume(tmp_path):
+    """Step-indexed checkpoint/resume mid-co-training: a restored trainer
+    continues from the same global step with identical states (the outer
+    loop's load-bearing resume contract, SURVEY §5.4)."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(12)
+    de = BiEncoder(BiEncoderConfig(bert=CFG))
+    ce = CrossEncoder(CrossEncoderConfig(bert=CFG))
+    batch = _de_batch(rng, n=8, m=2)
+    n, m, lj = batch["joint_ids"].shape
+    de_params = de.init(jax.random.PRNGKey(0), batch["q_ids"][:2],
+                        batch["q_mask"][:2], batch["ctx_ids"][:2],
+                        batch["ctx_mask"][:2])
+    ce_params = ce.init(jax.random.PRNGKey(1),
+                        batch["joint_ids"].reshape(n * m, lj)[:2],
+                        batch["joint_mask"].reshape(n * m, lj)[:2])
+    tx = make_adamw(1e-3, total_steps=0)
+
+    saved = {}
+
+    def checkpoint_fn(de_state, ce_state, step):
+        saved["de"] = save_checkpoint(str(tmp_path), de_state, step, "de")
+        saved["ce"] = save_checkpoint(str(tmp_path), ce_state, step, "ce")
+
+    def batches():
+        while True:
+            yield batch
+
+    def make_trainer(de_state, ce_state, start_step=0):
+        tr = AR2CoTrainer(
+            mesh, AR2Config(iteration_step=6, iteration_reranker_step=2,
+                            max_steps=100, log_every=1000),
+            de_state, ce_state,
+            make_ar2_retriever_step(de, ce, tx, mesh, adv_lambda=0.0),
+            make_reranker_step(ce, tx, mesh, group_size=m),
+            batches, checkpoint_fn=checkpoint_fn)
+        tr.global_step = start_step
+        return tr
+
+    t1 = make_trainer(TrainState.create(de_params, tx),
+                      TrainState.create(jax.tree.map(jnp.copy, ce_params), tx))
+    t1.run(num_steps=6)   # hits the window boundary -> checkpoint at step 6
+    assert latest_step(str(tmp_path), "de") == 6
+    # continue the original for 4 more steps as ground truth
+    t1.run(num_steps=4)
+    truth_de = t1.de_state
+
+    # resume a fresh trainer from the checkpoint
+    zero_de = TrainState.create(
+        jax.tree.map(jnp.zeros_like, de_params), tx)
+    zero_ce = TrainState.create(
+        jax.tree.map(jnp.zeros_like, ce_params), tx)
+    de_restored = restore_checkpoint(str(tmp_path), zero_de, 6, "de")
+    ce_restored = restore_checkpoint(str(tmp_path), zero_ce, 6, "ce")
+    t2 = make_trainer(de_restored, ce_restored, start_step=6)
+    t2.run(num_steps=4)
+    assert t2.global_step == 10
+    # identical parameters after resume (same data, deterministic steps)
+    a = jax.tree.leaves(truth_de.params)
+    b = jax.tree.leaves(t2.de_state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-5)
