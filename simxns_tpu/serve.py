@@ -142,9 +142,16 @@ class DenseRetriever:
 
     @staticmethod
     def from_checkpoint(ckpt_dir: str, step: int, model, tokenizer,
-                        example_params, **kw) -> "DenseRetriever":
+                        example_params, mesh=None, **kw) -> "DenseRetriever":
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from simxns_tpu.io.checkpoint import restore_checkpoint
 
         state = restore_checkpoint(ckpt_dir, example_params, step)
         params = state.params if hasattr(state, "params") else state
-        return DenseRetriever(model, params, tokenizer, **kw)
+        mesh = mesh or create_mesh()
+        # Orbax restores onto a single device; replicate across the serving
+        # mesh so the jitted encode/search programs accept them.
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        return DenseRetriever(model, params, tokenizer, mesh=mesh, **kw)

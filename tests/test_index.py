@@ -169,3 +169,22 @@ def test_index_scale_2m_rows_cpu_mesh():
     got = np.take_along_axis(queries @ corpus.T, ids, axis=1)
     np.testing.assert_allclose(scores, got, rtol=1e-5)
     assert (np.diff(scores, axis=1) <= 1e-6).all()
+
+
+def test_index_update_rows_incremental():
+    """In-place shard update: re-encoded rows change search results without
+    a full rebuild (the incremental re-encode path between phases)."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(12)
+    corpus = rng.standard_normal((64, 16), dtype=np.float32)
+    index = MIPSIndex(mesh, block_size=8, store_dtype=jnp.float32)
+    index.build(corpus)
+    q = corpus[5][None]
+    _, ids0 = index.search(q, 1)
+    assert ids0[0, 0] == 5
+    # overwrite rows 0..7 with vectors aligned to the query
+    new_rows = np.tile(corpus[5] * 2, (8, 1)).astype(np.float32)
+    index.update_rows(0, new_rows)
+    index._search_cache.clear()   # shapes unchanged; clear for cleanliness
+    _, ids1 = index.search(q, 1)
+    assert int(ids1[0, 0]) in range(8)   # an updated row now wins

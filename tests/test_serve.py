@@ -40,3 +40,30 @@ def test_dense_retriever_end_to_end():
     batch_hits = r.search([f"title {i} passage body token{i} content"
                            for i in (3, 11, 29)], k=3)
     assert [h[0].passage_id for h in batch_hits] == [3, 11, 29]
+
+
+def test_from_checkpoint_roundtrip(tmp_path):
+    from simxns_tpu.train import TrainState, make_adamw
+    from simxns_tpu.io import save_checkpoint
+
+    mesh = create_mesh()
+    tok = HashTokenizer(vocab_size=512)
+    cfg = BiEncoderConfig(bert=BertConfig.tiny(vocab_size=512),
+                          share_weight=True)
+    model = BiEncoder(cfg)
+    dummy = np.ones((2, 8), np.int32)
+    params = model.init(jax.random.PRNGKey(3), dummy, np.ones_like(dummy),
+                        dummy, np.ones_like(dummy))
+    tx = make_adamw(1e-3, total_steps=0)
+    state = TrainState.create(params, tx)
+    save_checkpoint(str(tmp_path), state, 7)
+
+    zero = TrainState.create(jax.tree.map(jnp.zeros_like, params), tx)
+    r = DenseRetriever.from_checkpoint(
+        str(tmp_path), 7, model, tok, zero, mesh=mesh, max_q_length=12,
+        max_ctx_length=24, block_size=16, encode_chunk=16, index_mode="exact")
+    r.index.store_dtype = jnp.float32
+    passages = {i: (f"body token{i}", f"t{i}") for i in range(20)}
+    r.index_corpus(passages)
+    hits = r.search(["t 4 body token4"], k=3)
+    assert hits[0][0].passage_id == 4
