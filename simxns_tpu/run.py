@@ -1,0 +1,555 @@
+"""Command-line launcher: run any published recipe from one command.
+
+The reference's public interface is shell launchers feeding 60-80 argparse
+flags into per-project entry scripts (``SimANS/train_NQ_AR2.sh:15-50``,
+``SimANS/wiki/co_training_wiki_train.py:370-586``,
+``MASTER/finetune/ft_MS_MASTER.sh``, ``PROD/README.md``). Here every
+published configuration is a named recipe over the typed config tree
+(:data:`simxns_tpu.config.RECIPES`) and this module is the one entry point:
+
+    python -m simxns_tpu.run --recipe nq_ar2_simans --synthetic
+    python -m simxns_tpu.run --recipe marco_ar2_simans \
+        --corpus corpus.npz --queries queries.npz --output-dir runs/marco
+    python -m simxns_tpu.run --recipe master_pretrain --synthetic --steps 50
+
+Real data comes from ``scripts/prepare_data.py`` (packed ``.npz`` token
+arrays + a ``.qa.json`` sidecar for queries). Without ``--corpus`` the
+launcher generates a synthetic corpus (the reference datasets are not
+redistributable), so every recipe runs out of the box; add ``--tpu`` to run
+on real chips instead of the virtual CPU mesh.
+
+Outputs land in ``--output-dir``: ``metrics.jsonl`` (step + phase logs),
+Orbax checkpoints, and a final ``eval.json`` for retrieval recipes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from simxns_tpu.config import (
+    AR2RecipeConfig, KDRecipeConfig, MasterPretrainConfig, RECIPES)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m simxns_tpu.run",
+        description="Run a SimXNS recipe (AR2/SimANS co-training, PROD "
+                    "distillation, MASTER pretraining) on TPU or the "
+                    "virtual CPU mesh.")
+    ap.add_argument("--recipe", required=True, choices=sorted(RECIPES),
+                    help="named configuration from simxns_tpu.config.RECIPES")
+    ap.add_argument("--corpus", default=None,
+                    help="packed corpus .npz from scripts/prepare_data.py")
+    ap.add_argument("--queries", default=None,
+                    help="packed queries .npz (+ .qa.json sidecar)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="force the synthetic corpus even if --corpus given")
+    ap.add_argument("--output-dir", default=None,
+                    help="metrics.jsonl + checkpoints directory")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on real chips (default: 8-device CPU mesh)")
+    ap.add_argument("--devices", type=int, default=8,
+                    help="virtual device count for the CPU mesh")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override the recipe's max_steps")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the recipe's global batch")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override the primary learning rate")
+    ap.add_argument("--topk", type=int, default=None,
+                    help="override mining depth k")
+    ap.add_argument("--full-size", action="store_true",
+                    help="use the recipe's full model shapes even on the "
+                         "synthetic corpus (default: tiny models there)")
+    ap.add_argument("--corpus-size", type=int, default=256,
+                    help="synthetic corpus passage count")
+    ap.add_argument("--num-queries", type=int, default=64,
+                    help="synthetic query count")
+    ap.add_argument("--seed", type=int, default=0)
+    return ap
+
+
+def _setup_platform(args) -> None:
+    """Pin the backend BEFORE first use (tests/conftest.py recipe)."""
+    if args.tpu:
+        return
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count="
+            f"{args.devices}").strip()
+    import jax
+
+    try:
+        jax.config.update("jax_platform_name", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized (e.g. under pytest's conftest)
+
+
+def _bert_cfg(recipe_bert, tiny: bool, vocab: int):
+    from simxns_tpu.models import BertConfig
+
+    if tiny:
+        return BertConfig.tiny(vocab_size=vocab)
+    return recipe_bert.replace(vocab_size=max(recipe_bert.vocab_size, vocab))
+
+
+class _Corpus:
+    """Token arrays + QA labels, from prepared .npz files or synthesized."""
+
+    def __init__(self, corpus_ids, query_ids, questions, answers, passages,
+                 vocab_size, sep_id):
+        self.corpus_ids = corpus_ids
+        self.query_ids = query_ids
+        self.questions = questions
+        self.answers = answers
+        self.passages = passages
+        self.vocab_size = vocab_size
+        self.sep_id = sep_id
+
+    @property
+    def corpus_mask(self):
+        return (self.corpus_ids != 0).astype(np.int32)
+
+    @property
+    def query_mask(self):
+        return (self.query_ids != 0).astype(np.int32)
+
+
+def _load_prepared(args, data_cfg) -> _Corpus:
+    corpus = np.load(args.corpus)
+    queries = np.load(args.queries)
+    corpus_ids = corpus["ids"].astype(np.int32)
+    query_ids = queries["ids"].astype(np.int32)
+    qa_path = args.queries + ".qa.json"
+    if os.path.exists(qa_path):
+        with open(qa_path, encoding="utf-8") as f:
+            qa = json.load(f)
+        questions = [r["question"] for r in qa]
+        answers = [r["answers"] for r in qa]
+    else:
+        questions = [f"q{i}" for i in range(len(query_ids))]
+        answers = [[] for _ in range(len(query_ids))]
+    # hit labeling needs passage text; prepared corpora are token-only, so
+    # fall back to token-id membership via a decoded placeholder (real runs
+    # should pass the original text corpus for string matching — the engine
+    # accepts any pid->(text, title) dict).
+    passages = {i: (f"passage {i}", "") for i in range(len(corpus_ids))}
+    vocab = int(max(corpus_ids.max(), query_ids.max())) + 1
+    return _Corpus(corpus_ids, query_ids, questions, answers, passages,
+                   vocab_size=max(vocab, 512), sep_id=2)
+
+
+def _synthesize(args, data_cfg) -> _Corpus:
+    """Topic-structured synthetic corpus: query i's answer is `facti`."""
+    from simxns_tpu.data import HashTokenizer
+
+    tok = HashTokenizer(vocab_size=2048)
+    n, q = args.corpus_size, min(args.num_queries, args.corpus_size)
+    lc = min(data_cfg.max_ctx_length, 32)
+    lq = min(data_cfg.max_q_length, 16)
+    passages = {i: (f"document {i} mentions fact{i} and topic{i % 7}",
+                    f"title{i}") for i in range(n)}
+    corpus_ids = np.zeros((n, lc), np.int32)
+    for i in range(n):
+        enc = tok.encode(passages[i][1], text_pair=passages[i][0],
+                         max_length=lc)
+        corpus_ids[i, : len(enc)] = enc
+    questions = [f"document {i} fact{i}" for i in range(q)]
+    answers = [[f"fact{i}"] for i in range(q)]
+    query_ids = np.zeros((q, lq), np.int32)
+    for i, text in enumerate(questions):
+        enc = tok.encode(text, max_length=lq)
+        query_ids[i, : len(enc)] = enc
+    return _Corpus(corpus_ids, query_ids, questions, answers, passages,
+                   vocab_size=2048, sep_id=tok.sep_token_id)
+
+
+def _get_corpus(args, data_cfg) -> _Corpus:
+    if args.corpus and args.queries and not args.synthetic:
+        return _load_prepared(args, data_cfg)
+    if args.corpus or args.queries:
+        print("note: --corpus/--queries incomplete; using synthetic corpus",
+              file=sys.stderr)
+    return _synthesize(args, data_cfg)
+
+
+def _make_optim(optim_cfg, lr_override=None, steps=None):
+    from simxns_tpu.train import make_adamw, make_lamb
+
+    lr = lr_override if lr_override is not None else optim_cfg.learning_rate
+    total = steps if steps is not None else optim_cfg.total_steps
+    factory = make_lamb if optim_cfg.optimizer == "lamb" else make_adamw
+    return factory(lr, warmup_steps=min(optim_cfg.warmup_steps, total // 4),
+                   total_steps=total,
+                   weight_decay=optim_cfg.weight_decay,
+                   max_grad_norm=optim_cfg.max_grad_norm)
+
+
+def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
+    """AR2/SimANS co-training: warmup -> mine -> alternating co-training.
+
+    Phase structure from ``SimANS/train_NQ_AR2.sh:15-50`` /
+    ``co_training_wiki_train.py:606-693``; master_ms_ft reuses the same
+    loop with BM25-warmup hyperparameters (``ft_MS_MASTER.sh:10-22``).
+    """
+    import jax
+
+    from simxns_tpu.data import from_mining_result
+    from simxns_tpu.index import CorpusEncoder, MIPSIndex, RetrievalEngine
+    from simxns_tpu.io import MetricLogger, save_checkpoint
+    from simxns_tpu.models import (
+        BiEncoder, BiEncoderConfig, CrossEncoder, CrossEncoderConfig)
+    from simxns_tpu.parallel import create_mesh, shard_batch
+    from simxns_tpu.train import (
+        AR2Config, AR2CoTrainer, TrainState, make_ar2_retriever_step,
+        make_biencoder_step, make_reranker_step)
+
+    data = _get_corpus(args, cfg.data)
+    tiny = not args.full_size and not (args.corpus and not args.synthetic)
+    mesh = create_mesh()
+    logger = MetricLogger(args.output_dir)
+    steps = args.steps if args.steps is not None else (
+        60 if tiny else cfg.max_steps)
+    batch_size = args.batch if args.batch is not None else cfg.global_batch
+    batch_size = min(batch_size, len(data.query_ids))
+    topk = args.topk if args.topk is not None else cfg.topk
+    topk = min(topk, len(data.corpus_ids))
+    # tiny models can't rank 15 hard negatives from scratch; the measured
+    # working point of the synthetic demo (examples/ar2_synthetic.py) is 3
+    negs = min(cfg.data.num_negatives, topk - 1, 3 if tiny else 10**9)
+
+    de_cfg = _bert_cfg(cfg.retriever.bert, tiny, data.vocab_size)
+    ce_cfg = _bert_cfg(cfg.reranker.bert, tiny, data.vocab_size)
+    de = BiEncoder(BiEncoderConfig(
+        bert=de_cfg, share_weight=cfg.retriever.share_weight,
+        pooling=cfg.retriever.pooling,
+        projection_dim=cfg.retriever.projection_dim))
+    ce = CrossEncoder(CrossEncoderConfig(
+        bert=ce_cfg, binary_head=cfg.reranker.binary_head))
+
+    max_joint = min(cfg.data.max_joint_length,
+                    data.query_ids.shape[1] + data.corpus_ids.shape[1] + 1)
+    lj = max_joint
+    de_params = de.init(jax.random.PRNGKey(args.seed),
+                        data.query_ids[:2], data.query_mask[:2],
+                        data.corpus_ids[:2], data.corpus_mask[:2])
+    ce_params = ce.init(jax.random.PRNGKey(args.seed + 1),
+                        np.ones((2, lj), np.int32),
+                        np.ones((2, lj), np.int32))
+    # the recipe learning rates assume warm full-size checkpoints; the
+    # tiny synthetic fallback trains from scratch and needs warmup-scale lrs
+    de_lr = args.lr if args.lr is not None else (3e-3 if tiny else None)
+    ce_lr = 1e-3 if tiny and args.lr is None else None
+    # co-training lrs sit well below warm-up lrs (reference: 1e-5/1e-6 on
+    # warm checkpoints vs 1e-5..2e-5 warm-up at full scale; 10x down and
+    # constant for the from-scratch tiny demo)
+    from simxns_tpu.train import make_adamw
+
+    if tiny:
+        tx_de = make_adamw(de_lr * 0.1, total_steps=0)
+        tx_ce = make_adamw(ce_lr * 0.1, total_steps=0)
+    else:
+        tx_de = _make_optim(cfg.retriever_optim, de_lr, steps)
+        tx_ce = _make_optim(cfg.reranker_optim, ce_lr, steps)
+    # warm-up runs on its own constant-lr optimizers (the reference's
+    # warm-up is a separate job with its own schedule; sharing the
+    # co-training schedule would decay it to zero before co-training starts)
+    tx_warm_de = make_adamw(de_lr or cfg.retriever_optim.learning_rate,
+                            total_steps=0)
+    tx_warm_ce = make_adamw(ce_lr or cfg.reranker_optim.learning_rate,
+                            total_steps=0)
+    de_state = TrainState.create(de_params, tx_warm_de)
+    ce_state = TrainState.create(ce_params, tx_warm_ce)
+
+    import jax.numpy as jnp
+
+    index = MIPSIndex(
+        mesh, block_size=min(8192, max(32, len(data.corpus_ids) // 4)),
+        store_dtype=jnp.bfloat16 if args.tpu else jnp.float32)
+    engine = RetrievalEngine(index, data.passages, logger=logger)
+    p_enc = CorpusEncoder(
+        lambda p, i, m: de.apply(p, i, m, method="encode_passage"), mesh,
+        chunk_size=min(1024, max(64, len(data.corpus_ids) // 4)))
+    q_enc = CorpusEncoder(
+        lambda p, i, m: de.apply(p, i, m, method="encode_query"), mesh,
+        chunk_size=min(1024, max(64, len(data.query_ids))))
+
+    def mine(state):
+        index.build(p_enc(state.params, data.corpus_ids, data.corpus_mask))
+        return engine.mine(
+            q_enc(state.params, data.query_ids, data.query_mask),
+            data.questions, data.answers, k=topk)
+
+    def dataset_from(res, seed):
+        return from_mining_result(
+            data.corpus_ids, data.query_ids, res, num_negatives=negs,
+            max_joint_length=lj, sep_id=data.sep_id, seed=seed,
+            simans_mode=cfg.data.simans_mode, simans_a=cfg.data.simans_a,
+            simans_b=cfg.data.simans_b, simans_tau=cfg.data.simans_tau)
+
+    # -- warmup: both models must start trained (the reference loads
+    #    finetuned DE + reranker checkpoints before co-training) -----------
+    gold = type("R", (), {
+        "topk_ids": np.stack(
+            [np.r_[i, (np.arange(1, topk) + i) % len(data.corpus_ids)]
+             for i in range(len(data.query_ids))]),
+        "topk_scores": np.tile(
+            np.linspace(5, 1, topk, dtype=np.float32),
+            (len(data.query_ids), 1)),
+        "hits": [[j == 0 for j in range(topk)]
+                 for _ in range(len(data.query_ids))]})()
+    warm_ds = dataset_from(gold, args.seed)
+    warm_de = make_biencoder_step(de, tx_warm_de, mesh, grad_mode="full")
+    warm_ce = make_reranker_step(ce, tx_warm_ce, mesh, group_size=1 + negs)
+    warm_epochs = 40 if tiny else max(1, min(25, steps // 4))
+    for _ in range(warm_epochs):
+        for b in warm_ds.batches(batch_size=batch_size, with_joint=False):
+            de_state, wm = warm_de(de_state, shard_batch(b, mesh))
+    # the reranker must be a competent teacher before co-training (the
+    # reference loads checkpoint-reranker26000); warm it harder
+    for _ in range(warm_epochs + 20 if tiny else warm_epochs):
+        for b in warm_ds.batches(batch_size=batch_size):
+            dev = shard_batch({"joint_ids": b["joint_ids"],
+                               "joint_mask": b["joint_mask"]}, mesh)
+            ce_state, cm = warm_ce(ce_state, dev)
+    res = mine(de_state)
+    logger.log(0, {"top1": res.top_k_hits[0],
+                   "mrr10": res.metrics.get("MRR_n@_10", 0.0)},
+               phase="warmup_eval")
+    print(f"[{name}] warmup: top1={res.top_k_hits[0]:.3f}")
+
+    # -- co-training (fresh opt states on the recipe schedule) -------------
+    de_state = TrainState.create(de_state.params, tx_de)
+    ce_state = TrainState.create(ce_state.params, tx_ce)
+    r_step = make_ar2_retriever_step(de, ce, tx_de, mesh,
+                                     adv_lambda=cfg.adv_lambda)
+    c_step = make_reranker_step(ce, tx_ce, mesh, group_size=1 + negs)
+    history = [res.top_k_hits[0]]
+
+    def refresh(state, gstep):
+        r = mine(state)
+        history.append(r.top_k_hits[0])
+        logger.log(gstep, {"top1": r.top_k_hits[0]}, phase="refresh")
+        ds = dataset_from(r, gstep)
+        if len(ds) < batch_size:
+            return None
+        return lambda: ds.batches(batch_size=batch_size)
+
+    iteration = min(cfg.iteration_step, max(4, steps // 2) if tiny
+                    else cfg.iteration_step)
+    trainer = AR2CoTrainer(
+        mesh,
+        AR2Config(iteration_step=iteration,
+                  iteration_reranker_step=min(cfg.iteration_reranker_step,
+                                              max(2, (2 * iteration) // 5)),
+                  max_steps=steps, batch_size=batch_size,
+                  log_every=max(1, steps // 10)),
+        de_state, ce_state, r_step, c_step,
+        batches=refresh(de_state, 0)
+        or (lambda: warm_ds.batches(batch_size=batch_size)),
+        refresh_fn=refresh, metric_logger=logger)
+    trainer.run()
+
+    final = mine(trainer.de_state)
+    out = {"recipe": name, "steps": steps,
+           "top1": final.top_k_hits[0],
+           "top5": final.top_k_hits[min(4, topk - 1)],
+           "mrr10": final.metrics.get("MRR_n@_10", 0.0),
+           "history_top1": history}
+    if args.output_dir:
+        save_checkpoint(args.output_dir,
+                        {"params": trainer.de_state.params}, steps,
+                        name="retriever")
+        save_checkpoint(args.output_dir,
+                        {"params": trainer.ce_state.params}, steps,
+                        name="reranker")
+        with open(os.path.join(args.output_dir, "eval.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    print(f"[{name}] final: top1={out['top1']:.3f} mrr10={out['mrr10']:.3f}")
+    return out
+
+
+def run_kd(name: str, cfg: KDRecipeConfig, args) -> dict:
+    """PROD progressive distillation stage (``PROD/README.md`` pipeline):
+    student dual-encoder distilled from a (warmed) cross-encoder teacher."""
+    import jax
+
+    from simxns_tpu.data import from_mining_result
+    from simxns_tpu.io import MetricLogger, save_checkpoint
+    from simxns_tpu.models import (
+        BiEncoder, BiEncoderConfig, CrossEncoder, CrossEncoderConfig)
+    from simxns_tpu.parallel import create_mesh, shard_batch
+    from simxns_tpu.train import (
+        TrainState, make_kd_step, make_reranker_step)
+
+    data = _get_corpus(args, cfg.data)
+    tiny = not args.full_size and not (args.corpus and not args.synthetic)
+    mesh = create_mesh()
+    logger = MetricLogger(args.output_dir)
+    steps = args.steps if args.steps is not None else (
+        60 if tiny else cfg.max_steps)
+    batch_size = min(args.batch or cfg.global_batch, len(data.query_ids))
+    negs = min(cfg.data.num_negatives, 7, len(data.corpus_ids) - 1)
+    lj = min(cfg.data.max_joint_length,
+             data.query_ids.shape[1] + data.corpus_ids.shape[1] + 1)
+
+    s_cfg = _bert_cfg(cfg.student.bert, tiny, data.vocab_size)
+    t_cfg = _bert_cfg(cfg.student.bert.replace(num_layers=12), tiny,
+                      data.vocab_size)
+    student = BiEncoder(BiEncoderConfig(bert=s_cfg))
+    teacher = CrossEncoder(CrossEncoderConfig(bert=t_cfg))
+    s_params = student.init(jax.random.PRNGKey(args.seed),
+                            data.query_ids[:2], data.query_mask[:2],
+                            data.corpus_ids[:2], data.corpus_mask[:2])
+    t_params = teacher.init(jax.random.PRNGKey(args.seed + 1),
+                            np.ones((2, lj), np.int32),
+                            np.ones((2, lj), np.int32))
+    kd_lr = args.lr if args.lr is not None else (1e-3 if tiny else None)
+    tx = _make_optim(cfg.optim, kd_lr, steps)
+    state = TrainState.create(s_params, tx)
+
+    k = negs + 1
+    nq = len(data.query_ids)
+    gold = type("R", (), {
+        "topk_ids": np.stack(
+            [np.r_[i, (np.arange(1, k) + i) % len(data.corpus_ids)]
+             for i in range(nq)]),
+        "topk_scores": np.tile(np.linspace(5, 1, k, np.float32), (nq, 1)),
+        "hits": [[j == 0 for j in range(k)] for _ in range(nq)]})()
+    ds = from_mining_result(data.corpus_ids, data.query_ids, gold,
+                            num_negatives=negs, max_joint_length=lj,
+                            sep_id=data.sep_id, seed=args.seed,
+                            simans_mode=None)
+
+    # teacher warmup (the pipeline's CE stage precedes distillation)
+    t_tx = _make_optim(cfg.optim, kd_lr, steps)
+    t_state = TrainState.create(t_params, t_tx)
+    ce_step = make_reranker_step(teacher, t_tx, mesh, group_size=1 + negs)
+    for _ in range(max(1, steps // 8)):
+        for b in ds.batches(batch_size=batch_size):
+            dev = shard_batch({"joint_ids": b["joint_ids"],
+                               "joint_mask": b["joint_mask"]}, mesh)
+            t_state, _ = ce_step(t_state, dev)
+
+    step = make_kd_step(student, tx, mesh, cfg.teacher_type,
+                        kd_type=cfg.kd_type, temperature=cfg.temperature,
+                        ce_weight=cfg.ce_weight, kd_weight=cfg.kd_weight,
+                        lwf_weight=cfg.lwf_weight, dkd_alpha=cfg.dkd_alpha,
+                        dkd_beta=cfg.dkd_beta, ce_teacher_model=teacher)
+    teachers = {"ce": t_state.params}
+    done, last = 0, float("nan")
+    while done < steps:
+        for b in ds.batches(batch_size=batch_size):
+            state, m = step(state, teachers, shard_batch(b, mesh))
+            done += 1
+            last = float(m["loss"])
+            if done % max(1, steps // 10) == 0:
+                logger.log(done, {"loss": last}, phase="kd")
+            if done >= steps:
+                break
+    out = {"recipe": name, "steps": done, "final_loss": last}
+    if args.output_dir:
+        save_checkpoint(args.output_dir, {"params": state.params}, done,
+                        name="student")
+        with open(os.path.join(args.output_dir, "eval.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    print(f"[{name}] distilled {done} steps, loss={last:.4f}")
+    return out
+
+
+def run_pretrain(name: str, cfg: MasterPretrainConfig, args) -> dict:
+    """MASTER bottlenecked-MAE pretraining (``MASTER/pretrain``): 8-stream
+    masking collator -> Condenser multi-decoder objective -> encoder export.
+    """
+    import jax
+
+    from simxns_tpu.data import CondenserCollator, HashTokenizer, TokenMeta
+    from simxns_tpu.io import (
+        MetricLogger, export_encoder_only, save_checkpoint)
+    from simxns_tpu.models import Condenser, CondenserConfig
+    from simxns_tpu.parallel import create_mesh, shard_batch
+    from simxns_tpu.train import TrainState, make_condenser_step
+
+    tiny = not args.full_size
+    mesh = create_mesh()
+    logger = MetricLogger(args.output_dir)
+    steps = args.steps if args.steps is not None else (
+        50 if tiny else cfg.optim.total_steps)
+    batch_size = args.batch if args.batch is not None else cfg.global_batch
+    if tiny:
+        batch_size = min(batch_size, 16)
+
+    tok = HashTokenizer(vocab_size=2048)
+    meta = TokenMeta.for_hash_tokenizer(tok)
+    seq = min(cfg.max_seq_length, 64 if tiny else cfg.max_seq_length)
+    coll = CondenserCollator(meta, max_seq_length=seq,
+                             mlm_probability=cfg.mlm_probability,
+                             decoder_mlm_probability=(
+                                 cfg.decoder_mlm_probability),
+                             seed=args.seed)
+    rng = np.random.default_rng(args.seed)
+
+    def examples(n):
+        out = []
+        for _ in range(n):
+            out.append({
+                "text": rng.integers(5, 2000, size=int(
+                    rng.integers(24, seq - 4))).tolist(),
+                "queries": [rng.integers(5, 2000, size=6).tolist()],
+                "next": [rng.integers(5, 2000, size=20).tolist()],
+            })
+        return out
+
+    bert = _bert_cfg(cfg.bert, tiny, 2048)
+    if tiny:
+        bert = bert.replace(max_position_embeddings=max(seq, 64))
+    model = Condenser(CondenserConfig(bert=bert,
+                                      n_head_layers=cfg.n_head_layers))
+    params = model.init(jax.random.PRNGKey(args.seed), coll(examples(2)),
+                        deterministic=True)
+    pt_lr = args.lr if args.lr is not None else (1e-3 if tiny else None)
+    tx = _make_optim(cfg.optim, pt_lr, steps)
+    state = TrainState.create(params, tx)
+    step = make_condenser_step(model, tx, mesh)
+
+    last = float("nan")
+    for i in range(steps):
+        batch = shard_batch(coll(examples(batch_size)), mesh)
+        state, m = step(state, batch)
+        last = float(m["loss"])
+        if (i + 1) % max(1, steps // 10) == 0:
+            logger.log(i + 1, {"loss": last}, phase="pretrain")
+    out = {"recipe": name, "steps": steps, "final_loss": last}
+    if args.output_dir:
+        encoder = export_encoder_only(state.params)
+        save_checkpoint(args.output_dir, {"params": encoder}, steps,
+                        name="encoder")
+        with open(os.path.join(args.output_dir, "eval.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    print(f"[{name}] pretrained {steps} steps, loss={last:.4f}")
+    return out
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    _setup_platform(args)
+    if args.output_dir:
+        os.makedirs(args.output_dir, exist_ok=True)
+    cfg = RECIPES[args.recipe]
+    if isinstance(cfg, AR2RecipeConfig):
+        return run_ar2(args.recipe, cfg, args)
+    if isinstance(cfg, KDRecipeConfig):
+        return run_kd(args.recipe, cfg, args)
+    if isinstance(cfg, MasterPretrainConfig):
+        return run_pretrain(args.recipe, cfg, args)
+    raise SystemExit(f"recipe {args.recipe} has no runner")
+
+
+if __name__ == "__main__":
+    main()
