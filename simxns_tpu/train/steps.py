@@ -48,7 +48,9 @@ def with_grad_accum(loss_fn: Callable, micro_steps: int) -> Callable:
     losses the negative pool shrinks to the microbatch — exactly the
     reference's accumulation semantics — and ``positive_idx`` MUST be
     microbatch-local (every leading dim is split; a full-batch index goes
-    out of range and jit's take_along_axis fills NaN).
+    out of range and jit's take_along_axis fills NaN). Violations are
+    guarded: concrete batches raise ``ValueError`` eagerly; traced batches
+    report ``accum_idx_ok=False`` in the metrics dict.
     """
     if micro_steps <= 1:
         return jax.value_and_grad(loss_fn, has_aux=True)
@@ -57,7 +59,24 @@ def with_grad_accum(loss_fn: Callable, micro_steps: int) -> Callable:
         return x.reshape((micro_steps, x.shape[0] // micro_steps)
                          + x.shape[1:])
 
+    def _guard_positive_idx(batch):
+        """Catch the full-batch-index footgun instead of NaN-ing silently."""
+        pos = batch.get("positive_idx")
+        if pos is None or "ctx_ids" not in batch:
+            return None
+        rows = batch["ctx_ids"].shape[0] // micro_steps
+        if not isinstance(pos, jax.core.Tracer):
+            if int(jnp.max(pos)) >= rows:
+                raise ValueError(
+                    f"with_grad_accum(micro_steps={micro_steps}): "
+                    f"positive_idx max {int(jnp.max(pos))} >= {rows} ctx "
+                    "rows per microbatch — positive_idx must be "
+                    "microbatch-LOCAL under accumulation (see docstring)")
+            return None
+        return (pos < rows).all()  # traced: surface as a metric
+
     def vg(params, batch):
+        idx_ok = _guard_positive_idx(batch)
         micro = jax.tree_util.tree_map(split, batch)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -76,11 +95,13 @@ def with_grad_accum(loss_fn: Callable, micro_steps: int) -> Callable:
         rest = jax.tree_util.tree_map(lambda x: x[1:], micro)
         (loss, aux, grads), _ = jax.lax.scan(body, init, rest)
         scale = 1.0 / micro_steps
-        return ((loss * scale,
-                 jax.tree_util.tree_map(lambda x: x * scale
-                                        if jnp.issubdtype(x.dtype, jnp.floating)
-                                        else x, aux)),
-                jax.tree_util.tree_map(lambda g: g * scale, grads))
+        aux = jax.tree_util.tree_map(
+            lambda x: x * scale
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, aux)
+        if idx_ok is not None and isinstance(aux, dict):
+            aux = {**aux, "accum_idx_ok": idx_ok}
+        return (loss * scale, aux), jax.tree_util.tree_map(
+            lambda g: g * scale, grads)
 
     return vg
 

@@ -190,3 +190,40 @@ def test_grad_accum_matches_full_batch():
     np.testing.assert_allclose(float(l_acc), float(l_full), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_acc), np.asarray(g_full),
                                rtol=1e-5)
+
+
+def test_grad_accum_guards_global_positive_idx():
+    """A full-batch positive_idx under accumulation must not NaN silently
+    (train/steps.py docstring contract): concrete batches raise eagerly,
+    traced batches surface accum_idx_ok=False in the metrics."""
+    import pytest
+
+    from simxns_tpu.train.steps import with_grad_accum
+    rng = np.random.default_rng(11)
+    n, m, h = 8, 2, 4
+    batch = {
+        "q": jnp.asarray(rng.normal(size=(n, h)), jnp.float32),
+        "ctx_ids": jnp.asarray(rng.normal(size=(n * m, h)), jnp.float32),
+        # GLOBAL flat indices — out of range for a 2-row microbatch
+        "positive_idx": jnp.asarray(np.arange(n) * m, jnp.int32),
+    }
+
+    def loss_fn(params, b):
+        scores = b["q"] @ params @ b["ctx_ids"].T
+        picked = jnp.take_along_axis(scores, b["positive_idx"][:, None], 1)
+        loss = -jnp.mean(picked)
+        return loss, {"l": loss}
+
+    w = jnp.eye(h, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="microbatch-LOCAL"):
+        with_grad_accum(loss_fn, 4)(w, batch)
+
+    # traced path: flag lands in the metrics instead
+    (_, aux), _ = jax.jit(with_grad_accum(loss_fn, 4))(w, batch)
+    assert not bool(aux["accum_idx_ok"])
+
+    # a LOCAL index passes both paths with accum_idx_ok True
+    local = dict(batch, positive_idx=jnp.asarray(
+        np.arange(n) % (n // 4), jnp.int32))
+    (_, aux2), _ = jax.jit(with_grad_accum(loss_fn, 4))(w, local)
+    assert bool(aux2["accum_idx_ok"])
