@@ -122,6 +122,151 @@ def test_prod_style_pipeline_end_to_end(tmp_path):
     assert out["history"][1]["top1"] > 0.2
 
 
+def test_master_finetune_pipeline_five_stages(tmp_path):
+    """The full ``MASTER/finetune/ft_MS_MASTER.sh:1-135`` sequence as one
+    in-process Pipeline: BM25-negative DE warmup -> inference with hard-neg
+    writing (the ``train_ce_hardneg.tsv`` contract) -> hard-neg DE retrain
+    -> CE (reranker) train -> DE/CE co-training window + final eval."""
+    from simxns_tpu.data import from_mining_result
+    from simxns_tpu.train import (
+        Stage, make_ar2_retriever_step, make_reranker_step)
+    from simxns_tpu.parallel import shard_batch
+
+    mesh = create_mesh()
+    tok = HashTokenizer(vocab_size=512)
+    rng = np.random.default_rng(3)
+
+    n_corpus, n_q, lc, lq, lj, negs = 64, 32, 16, 12, 24, 2
+    m = 1 + negs
+    passages = {i: (f"body {i} ans{i} end", f"t{i}") for i in range(n_corpus)}
+    corpus_tok = np.stack([
+        np.array((tok.encode(passages[i][1], text_pair=passages[i][0],
+                             max_length=lc) + [0] * lc)[:lc], np.int32)
+        for i in range(n_corpus)])
+    corpus_mask = (corpus_tok != 0).astype(np.int32)
+    questions = [f"body {i} ans{i}" for i in range(n_q)]
+    answers = [[f"ans{i}"] for i in range(n_q)]
+    q_tok = np.stack([np.array((tok.encode(q, max_length=lq) + [0] * lq)[:lq],
+                               np.int32) for q in questions])
+    q_mask = (q_tok != 0).astype(np.int32)
+
+    de = BiEncoder(BiEncoderConfig(bert=CFG))
+    ce = CrossEncoder(CrossEncoderConfig(bert=CFG))
+    tx = make_adamw(3e-3, total_steps=0)
+    tx_co = make_adamw(3e-4, total_steps=0)
+    de_params = de.init(jax.random.PRNGKey(0), q_tok[:2], q_mask[:2],
+                        corpus_tok[:2], corpus_mask[:2])
+    ce_params = ce.init(jax.random.PRNGKey(1), np.ones((2, lj), np.int32),
+                        np.ones((2, lj), np.int32))
+
+    index = MIPSIndex(mesh, block_size=16, store_dtype=jnp.float32)
+    engine = RetrievalEngine(index, passages)
+    p_enc = CorpusEncoder(
+        lambda p, i, mk: de.apply(p, i, mk, method="encode_passage"),
+        mesh, chunk_size=32)
+    q_enc = CorpusEncoder(
+        lambda p, i, mk: de.apply(p, i, mk, method="encode_query"),
+        mesh, chunk_size=32)
+
+    # stage-1 data: "BM25" negatives (lexical neighbors i±1, i±2 share the
+    # `body`/`end` frame, like BM25's high-overlap false positives)
+    def bm25_dataset(seed):
+        gold = type("R", (), {
+            "topk_ids": np.stack([
+                np.r_[i, (i + 1) % n_corpus, (i + 2) % n_corpus,
+                      (i + 5) % n_corpus] for i in range(n_q)]),
+            "topk_scores": np.tile(np.linspace(4, 1, 4, dtype=np.float32),
+                                   (n_q, 1)),
+            "hits": [[j == 0 for j in range(4)] for _ in range(n_q)]})()
+        return from_mining_result(corpus_tok, q_tok, gold,
+                                  num_negatives=negs, max_joint_length=lj,
+                                  sep_id=tok.sep_token_id, seed=seed,
+                                  simans_mode=None)
+
+    warm_step = make_biencoder_step(de, tx, mesh, grad_mode="full")
+    ce_step = make_reranker_step(ce, tx, mesh, group_size=m)
+    ar2_step = make_ar2_retriever_step(de, ce, tx_co, mesh, adv_lambda=0.0)
+    co_ce_step = make_reranker_step(ce, tx_co, mesh, group_size=m)
+
+    def de_batches(ctx):
+        for b in ctx["dataset"].batches(batch_size=16, with_joint=False):
+            yield b
+
+    def joint_batches(ctx):
+        for b in ctx["dataset"].batches(batch_size=16):
+            yield {"joint_ids": b["joint_ids"], "joint_mask": b["joint_mask"]}
+
+    def full_batches(ctx):
+        yield from ctx["dataset"].batches(batch_size=16)
+
+    def rebuild(ctx, res):
+        # the --write_hardneg contract: hard negatives come from the mined
+        # top-k; also persist the tsv-like artifact the reference writes
+        with open(tmp_path / "train_ce_hardneg.tsv", "w") as f:
+            for qi in range(len(res.topk_ids)):
+                for rank, pid in enumerate(res.topk_ids[qi]):
+                    f.write(f"{qi}\t{pid}\t{rank}\n")
+        return from_mining_result(corpus_tok, q_tok, res,
+                                  num_negatives=negs, max_joint_length=lj,
+                                  sep_id=tok.sep_token_id, seed=7,
+                                  simans_mode=None)
+
+    def ar2_adapter(state, teachers, dev):
+        return ar2_step(state, teachers["ce_state"].params, dev)
+
+    def co_train(ctx):
+        # one co-training window: reranker steps then retriever steps
+        # (AR2CoTrainer's flag machine, compressed to a single window)
+        for i, b in enumerate(joint_batches(ctx)):
+            if i >= 4:
+                break
+            ctx["ce_state"], _ = co_ce_step(
+                ctx["ce_state"], shard_batch(b, mesh))
+        last = {}
+        for i, b in enumerate(full_batches(ctx)):
+            if i >= 8:
+                break
+            dev = shard_batch({k: v for k, v in b.items() if k != "answers"},
+                              mesh)
+            ctx["de"], last = ar2_adapter(ctx["de"],
+                                          {"ce_state": ctx["ce_state"]}, dev)
+        return {"loss": float(last.get("loss", float("nan")))}
+
+    ctx = {
+        "mesh": mesh, "index": index, "engine": engine,
+        "de": TrainState.create(de_params, tx),
+        "ce_state": TrainState.create(ce_params, tx),
+        "dataset": bm25_dataset(0),
+    }
+    refresh = lambda name: refresh_stage(
+        name,
+        lambda c: p_enc(c["de"].params, corpus_tok, corpus_mask),
+        lambda c: q_enc(c["de"].params, q_tok, q_mask),
+        questions, answers, k=8, build_dataset=rebuild)
+    pipe = Pipeline([
+        train_stage("bm25_warmup_de", "de", warm_step, de_batches,
+                    num_steps=60),
+        refresh("write_hardneg"),
+        train_stage("hardneg_de_retrain", "de", warm_step, de_batches,
+                    num_steps=20),
+        train_stage("ce_train", "ce_state", ce_step, joint_batches,
+                    num_steps=20,
+                    device_batch=lambda b: shard_batch(b, mesh)),
+        Stage("co_training", co_train),
+        refresh("final_eval"),
+    ], ctx=ctx)
+    out = pipe.run()
+    names = [h["stage"] for h in out["history"]]
+    assert names == ["bm25_warmup_de", "write_hardneg", "hardneg_de_retrain",
+                     "ce_train", "co_training", "final_eval"]
+    assert (tmp_path / "train_ce_hardneg.tsv").exists()
+    hard_top1 = out["history"][1]["top1"]
+    final_top1 = out["history"][5]["top1"]
+    assert hard_top1 > 0.2          # warmup retrieves
+    assert final_top1 >= hard_top1 - 0.05   # co-training holds/improves
+    assert np.isfinite(out["history"][4]["loss"])
+
+
 def test_division_stage():
     qrels = {"a": [1], "b": [1]}
     ctx = {"student_rank": {"a": [9, 1], "b": [1, 9]},
