@@ -4,6 +4,9 @@ from simxns_tpu.models.cross_encoder import CrossEncoder, CrossEncoderConfig
 from simxns_tpu.models.colbert import ColBERT, ColBERTConfig
 from simxns_tpu.models.condenser import (
     Condenser, CondenserConfig, cocondenser_span_loss, mlm_loss_from_logits)
+from simxns_tpu.models.seq2seq import (
+    Seq2Seq, Seq2SeqConfig, generate as seq2seq_generate, queries_to_tsv,
+    seq2seq_lm_loss)
 from simxns_tpu.models.reader import Reader, ReaderConfig, reader_loss
 from simxns_tpu.models.hf_import import (
     convert_hf_bert, load_hf_bert_encoder, as_biencoder_params)
@@ -21,6 +24,8 @@ __all__ = [
     "Condenser",
     "CondenserConfig",
     "cocondenser_span_loss",
+    "Seq2Seq", "Seq2SeqConfig", "seq2seq_generate", "queries_to_tsv",
+    "seq2seq_lm_loss",
     "mlm_loss_from_logits",
     "Reader",
     "ReaderConfig",
