@@ -34,6 +34,15 @@ from simxns_tpu.data.tokenization import load_hf_tokenizer
 
 
 def get_tokenizer(path):
+    if path and path.startswith("star:"):
+        # MS-Doc reproduction: the pinned transformers-2.8 Roberta BPE
+        # (SimANS/Doc_training/star_tokenizer.py contract); pass a directory
+        # holding roberta-base vocab.json + merges.txt
+        from simxns_tpu.data import load_star_tokenizer
+
+        d = path[len("star:"):]
+        return load_star_tokenizer(os.path.join(d, "vocab.json"),
+                                   os.path.join(d, "merges.txt"))
     if path:
         return load_hf_tokenizer(path)
     return HashTokenizer()
