@@ -1,0 +1,186 @@
+"""Pallas fused MIPS top-k kernel (the FAISS GPU brute-force scan, TPU-native).
+
+The reference shards a flat fp16 FAISS index over 8 GPUs and brute-force
+scans it (``SimANS/wiki/co_training_generate_new_train_wiki.py:307-332``).
+SURVEY.md §2.1/§7.1 calls the TPU replacement — a blocked q·Cᵀ matmul with
+on-device k-selection — the single biggest new native component. The XLA
+composition (``ops.topk.blocked_mips_topk``) is exact but selection-bound:
+``lax.approx_max_k`` per block measured only ~14% MXU on v5e because the
+PartialReduce runs *after* each einsum instead of overlapping it.
+
+This kernel fuses selection INTO the matmul program so the VPU reduction
+hides under the MXU:
+
+- grid ``(num_corpus_blocks, num_query_tiles)`` — corpus blocks on the
+  OUTER axis, so each ``[block_n, H]`` corpus tile is DMA'd into VMEM once
+  per full pass regardless of the query count (the corpus is read from HBM
+  exactly once; queries, which are tiny, are re-streamed per block).
+- each program computes ``scores = q_tile @ blockᵀ`` on the MXU
+  (``[block_q, H] x [H, block_n]``, bf16 in / f32 accumulate) and
+  immediately reduces every aligned group of ``bucket`` (=128) columns to
+  its (max, argmax) on the VPU — a 128x candidate reduction fused in VMEM,
+  so the ``[Q, N]`` score matrix never exists anywhere.
+- the surviving ``[Q, N/bucket]`` candidates get ONE exact ``lax.top_k``
+  outside the kernel.
+
+Semantics: identical to FAISS-style exact search except that two true
+top-k hits landing in the same 128-column bucket return only the better
+one. For k=100 on an 8.8M corpus the expected loss is ~100·99/2 / (N/128)
+≈ 0.07 of 100 hits (recall@100 ≈ 0.9993) — tighter than the bf16-storage
+noise floor both this engine and FAISS-fp16 already sit on.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1e30  # plain float: jnp scalars would be captured consts in-kernel
+NEG_INF = jnp.float32(_NEG)
+
+# Flip in tests to run under the Pallas interpreter (CPU, exact semantics).
+INTERPRET = False
+
+
+def _use_interpret() -> bool:
+    return INTERPRET or jax.devices()[0].platform != "tpu"
+
+
+def _mips_kernel(valid_n_ref, q_ref, c_ref, s_out_ref, i_out_ref, *,
+                 block_n: int, block_q: int, bucket: int):
+    """One (corpus-block, query-tile) program: matmul + fused bucket-argmax.
+
+    Outputs are laid out ``[num_blocks, Q, block_n/bucket]`` so each program
+    writes a full-minor-dim ``(1, block_q, nb)`` tile (lane dim == array
+    minor dim, which Mosaic accepts for nb < 128).
+    """
+    n_idx = pl.program_id(0)
+    nb = block_n // bucket
+
+    q = q_ref[...]                                    # [block_q, H] bf16
+    c = c_ref[...]                                    # [block_n, H] bf16
+    scores = jax.lax.dot_general(
+        q, c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [block_q, block_n]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_n), 1)
+    valid = n_idx * block_n + col < valid_n_ref[0]
+    scores = jnp.where(valid, scores, jnp.float32(_NEG))
+
+    s3 = scores.reshape(block_q, nb, bucket)
+    best = jnp.max(s3, axis=-1)                       # [block_q, nb]
+    # argmax-in-bucket via the (==max -> min index) trick; ties -> first.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_q, nb, bucket), 2)
+    in_bucket = jnp.min(
+        jnp.where(s3 >= best[..., None], lane, bucket), axis=-1)
+    bucket_base = jax.lax.broadcasted_iota(jnp.int32, (block_q, nb), 1)
+    ids = n_idx * block_n + bucket_base * bucket + in_bucket
+
+    s_out_ref[0] = best
+    i_out_ref[0] = ids
+
+
+try:  # import at module scope so interpret mode works without TPU deps
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pl = None
+    pltpu = None
+
+
+def _candidates(queries: jax.Array, corpus: jax.Array, valid_n,
+                *, block_n: int, block_q: int, bucket: int,
+                interpret: bool) -> Tuple[jax.Array, jax.Array]:
+    """Run the fused kernel: -> (scores, ids) each [num_blocks, Qp, nb]."""
+    n, h = corpus.shape
+    qp = queries.shape[0]
+    num_n = n // block_n
+    num_q = qp // block_q
+    nb = block_n // bucket
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_n, num_q),
+        in_specs=[
+            pl.BlockSpec((block_q, h), lambda ni, qi, s: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, h), lambda ni, qi, s: (ni, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, nb), lambda ni, qi, s: (ni, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, nb), lambda ni, qi, s: (ni, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    kernel = functools.partial(
+        _mips_kernel, block_n=block_n, block_q=block_q, bucket=bucket)
+    flops = 2 * qp * n * h
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_n, qp, nb), jnp.float32),
+            jax.ShapeDtypeStruct((num_n, qp, nb), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=n * h * 2 + qp * h * 2 * num_n,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(valid_n, jnp.int32).reshape(1), queries, corpus)
+
+
+def fused_mips_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    *,
+    block_n: int = 2048,
+    block_q: int = 256,
+    bucket: int = 128,
+    id_offset: jax.Array | int = 0,
+    valid_n: jax.Array | int | None = None,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused-kernel top-k inner products: [Q,H]x[N,H] -> ([Q,k], [Q,k]).
+
+    Drop-in for ``ops.topk.blocked_mips_topk`` (same contract: f32 scores,
+    global int32 ids offset by ``id_offset``, -1 ids on sub-``NEG_INF``
+    rows). ``valid_n`` and ``id_offset`` may be traced (shard_map rank
+    values); ``k``/``block_n``/``block_q``/``bucket`` must be static.
+
+    Requirements: H % 128 == 0; corpus/queries are padded here to block
+    multiples (mask rows via ``valid_n``). ``bucket`` is the candidate
+    reduction ratio; recall@k ≈ 1 - k(k-1)/2 / (N/bucket).
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    n, h = corpus.shape
+    if h % 128 != 0:
+        raise ValueError(f"hidden dim {h} must be a multiple of 128")
+    nq = queries.shape[0]
+    if valid_n is None:
+        valid_n = n
+    if n % block_n != 0:
+        corpus = jnp.pad(corpus, ((0, block_n - n % block_n), (0, 0)))
+    # Shrink the query tile for small batches (min 16 sublanes covers bf16).
+    block_q = min(block_q, max(16, -(-nq // 16) * 16))
+    if nq % block_q != 0:
+        queries = jnp.pad(queries, ((0, block_q - nq % block_q), (0, 0)))
+
+    cand_s, cand_i = _candidates(
+        queries, corpus, valid_n,
+        block_n=block_n, block_q=block_q, bucket=bucket, interpret=interpret)
+
+    # [num_n, Qp, nb] -> [Qp, num_n*nb]; one exact top-k over survivors.
+    qp = queries.shape[0]
+    flat_s = jnp.moveaxis(cand_s, 0, 1).reshape(qp, -1)
+    flat_i = jnp.moveaxis(cand_i, 0, 1).reshape(qp, -1)
+    top_s, sel = jax.lax.top_k(flat_s, k)
+    top_i = jnp.take_along_axis(flat_i, sel, axis=1)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i + id_offset, -1)
+    return top_s[:nq], top_i[:nq].astype(jnp.int32)

@@ -14,9 +14,10 @@ k-selection:
 
 Both return global corpus ids, so the distributed engine can merge per-shard
 results with one ``all_gather`` + final ``top_k`` (SURVEY.md §5.8).
-``lax.top_k`` lowers to an efficient XLA sort-based selection on TPU; a Pallas
-fused score+select kernel plugs in behind the same interface
-(:mod:`simxns_tpu.ops.mips_kernel`).
+``lax.top_k`` lowers to an efficient XLA sort-based selection on TPU;
+``mode='fused'`` dispatches to the Pallas fused score+select kernel
+(:mod:`simxns_tpu.ops.mips_kernel`), which overlaps the k-selection with the
+MXU matmul instead of running it after.
 """
 
 from __future__ import annotations
@@ -73,10 +74,21 @@ def blocked_mips_topk(
     once at the end — much cheaper selection at near-perfect recall, the
     right trade for negative mining where FAISS-fp16 itself isn't exact.
 
+    ``mode='fused'`` dispatches to the Pallas kernel in
+    :mod:`simxns_tpu.ops.mips_kernel` (matmul + in-VMEM bucket selection in
+    one program; ``block_size`` maps to its corpus block).
+
     Under ``shard_map`` pass ``axis_name`` so the scan carry is marked
     device-varying (JAX's vma check rejects a replicated carry fed by
     varying block scores).
     """
+    if mode == "fused":
+        from simxns_tpu.ops.mips_kernel import fused_mips_topk
+
+        return fused_mips_topk(
+            queries, corpus, k,
+            block_n=min(block_size, 2048),
+            id_offset=id_offset, valid_n=valid_n)
     n, h = corpus.shape
     q = queries.shape[0]
     if n % block_size != 0:
