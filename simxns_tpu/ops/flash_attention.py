@@ -18,6 +18,13 @@ Dispatch policy (measured on v5e-1): XLA's fused batched attention wins at
 S < 256 (the per-(batch,head) grid is too fine-grained to amortize), the
 Pallas kernel wins ~1.5x at S in [256, 1024]. ``flash_attention`` picks
 automatically, so models can default to ``attention_impl='flash'``.
+
+For the S < 256 regime (every SimXNS parity config, SURVEY.md §5.7) there is
+a second, GROUPED kernel: one program fuses ``_GROUP_BB`` whole batch
+elements x all heads, so the grid is ``B/_GROUP_BB`` programs instead of
+``B*H`` — amortizing the per-program overhead that made the fine grid lose.
+``SMALL_S_IMPL`` selects the small-S path ("xla" or "group"); the default
+is set from on-chip measurement (see ROADMAP).
 """
 
 from __future__ import annotations
@@ -37,6 +44,11 @@ _NEG = -1e9
 # Set True in tests to run the Pallas kernels under the interpreter on CPU
 # (numerics identical, no TPU needed).
 INTERPRET = False
+# Small-S (< _MIN_FUSED_SEQ) implementation: "xla" or "group" (the grouped
+# Pallas kernel below). Default from v5e-1 measurement; see ROADMAP.
+SMALL_S_IMPL = "xla"
+# Batch elements per program in the grouped kernel (all heads of each).
+_GROUP_BB = 2
 
 
 def _xla_fallback(q, k, v, attention_mask):
@@ -48,15 +60,6 @@ def _xla_fallback(q, k, v, attention_mask):
                          jnp.asarray(_NEG, jnp.float32))
     out, _ = _xla_attention(q, k, v, bias, return_probs=False)
     return out
-
-
-def _supports_pallas(q, s):
-    if INTERPRET:
-        return True
-    if s > _MAX_FUSED_SEQ or s < _MIN_FUSED_SEQ:
-        return False
-    platform = jax.devices()[0].platform
-    return platform == "tpu"
 
 
 # --- kernels ---------------------------------------------------------------
@@ -96,6 +99,52 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _attn_one(q, k, v, mask, scale):
+    """One head's softmax(qk^T)v chain in f32 (shared by both kernels)."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask[None, :] > 0, s, _NEG)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.dot(p, v, preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel_group(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, heads):
+    # Blocks are [G, S, D] with G = _GROUP_BB * heads consecutive (b, h)
+    # pairs; the Python loop is a static unroll so Mosaic can pipeline the
+    # per-head dots (one program per _GROUP_BB batch elements).
+    for g in range(q_ref.shape[0]):
+        q = q_ref[g].astype(jnp.float32)
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g].astype(jnp.float32)
+        mask = mask_ref[g // heads, 0]
+        o_ref[g] = _attn_one(q, k, v, mask, scale).astype(o_ref.dtype)
+
+
+def _bwd_kernel_group(q_ref, k_ref, v_ref, mask_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale, heads):
+    for g in range(q_ref.shape[0]):
+        q = q_ref[g].astype(jnp.float32)
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g].astype(jnp.float32)
+        do = do_ref[g].astype(jnp.float32)
+        mask = mask_ref[g // heads, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(mask[None, :] > 0, s, _NEG)
+        p = jax.nn.softmax(s, axis=-1)               # recomputed (remat)
+        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_ref[g] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                     * scale).astype(dq_ref.dtype)
+        dk_ref[g] = (jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+        dv_ref[g] = dv.astype(dv_ref.dtype)
 
 
 def _reshape_in(q, k, v, attention_mask):
@@ -178,6 +227,82 @@ def _fused_bwd(res, g):
 _fused_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
+# --- grouped small-S variant -------------------------------------------------
+
+def _group_sizes(b, h):
+    bb = _GROUP_BB if b % _GROUP_BB == 0 else 1
+    return bb, bb * h
+
+
+def _group_specs(bb, h, s, d):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = bb * h
+    qkv_spec = pl.BlockSpec((g, s, d), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((bb, 1, s), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return qkv_spec, mask_spec
+
+
+def _fwd_call_group(q, k, v, attention_mask):
+    from jax.experimental import pallas as pl
+
+    b, h, s, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    bb, g = _group_sizes(b, h)
+    qf, kf, vf, mask = _reshape_in(q, k, v, attention_mask)
+    qkv_spec, mask_spec = _group_specs(bb, h, s, d)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_group, scale=scale, heads=h),
+        grid=(b // bb,),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+        interpret=INTERPRET,
+    )(qf, kf, vf, mask)
+    return out.reshape(b, h, s, d)
+
+
+@jax.custom_vjp
+def _fused_attention_group(q, k, v, mask):
+    return _fwd_call_group(q, k, v, mask)
+
+
+def _fused_group_fwd(q, k, v, mask):
+    return _fwd_call_group(q, k, v, mask), (q, k, v, mask)
+
+
+def _fused_group_bwd(res, g_out):
+    from jax.experimental import pallas as pl
+
+    q, k, v, mask = res
+    b, h, s, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    bb, g = _group_sizes(b, h)
+    qf, kf, vf, maskf = _reshape_in(q, k, v, mask)
+    gf = g_out.reshape(b * h, s, d)
+    qkv_spec, mask_spec = _group_specs(bb, h, s, d)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_group, scale=scale, heads=h),
+        grid=(b // bb,),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec, qkv_spec],
+        out_specs=(qkv_spec, qkv_spec, qkv_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, s, d), v.dtype),
+        ),
+        interpret=INTERPRET,
+    )(qf, kf, vf, maskf, gf)
+    shape = (b, h, s, d)
+    return (dq.reshape(shape), dk.reshape(shape), dv.reshape(shape), None)
+
+
+_fused_attention_group.defvjp(_fused_group_fwd, _fused_group_bwd)
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -186,8 +311,15 @@ def flash_attention(
 ) -> jax.Array:
     """Fused attention over [B, H, S, D]; BERT-style [B, S] key mask."""
     b, h, s, d = q.shape
-    if not _supports_pallas(q, s):
+    on_pallas = INTERPRET or jax.devices()[0].platform == "tpu"
+    if not on_pallas or s > _MAX_FUSED_SEQ:
         return _xla_fallback(q, k, v, attention_mask)
     if attention_mask is None:
         attention_mask = jnp.ones((b, s), jnp.int32)
-    return _fused_attention(q, k, v, attention_mask)
+    if s >= _MIN_FUSED_SEQ:
+        return _fused_attention(q, k, v, attention_mask)
+    if SMALL_S_IMPL == "group":
+        return _fused_attention_group(q, k, v, attention_mask)
+    if INTERPRET:  # tests exercise the per-(b,h) kernel at any S
+        return _fused_attention(q, k, v, attention_mask)
+    return _xla_fallback(q, k, v, attention_mask)

@@ -71,3 +71,44 @@ def test_model_level_flash_equals_xla(interpret_mode):
     out_f = BertEncoder(cfg_f).apply(params, ids, mask).pooled
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
                                atol=2e-4, rtol=2e-4)
+
+
+@pytest.fixture
+def group_mode(interpret_mode):
+    old = fa.SMALL_S_IMPL
+    fa.SMALL_S_IMPL = "group"
+    yield
+    fa.SMALL_S_IMPL = old
+
+
+def test_group_fwd_matches_xla(group_mode):
+    """Grouped small-S kernel (bb=2 batch elems x all heads per program)."""
+    q, k, v, mask = _inputs(b=4, h=3, s=64, d=32)
+    out = fa.flash_attention(q, k, v, mask)
+    ref, _ = multi_head_attention(q, k, v, mask, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_group_fwd_odd_batch_falls_to_bb1(group_mode):
+    q, k, v, mask = _inputs(b=3, h=2, s=32, d=16, seed=5)
+    out = fa.flash_attention(q, k, v, mask)
+    ref, _ = multi_head_attention(q, k, v, mask, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_group_bwd_matches_xla(group_mode):
+    q, k, v, mask = _inputs(b=2, h=2, s=64, d=32, seed=7)
+
+    def loss_p(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, mask) ** 2)
+
+    def loss_x(q, k, v):
+        return jnp.sum(multi_head_attention(q, k, v, mask, impl="xla")[0] ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
