@@ -50,6 +50,7 @@ class BertConfig:
     dtype: Any = jnp.bfloat16          # activation/compute dtype
     param_dtype: Any = jnp.float32     # master params stay f32
     attention_impl: str = "flash"      # "flash" auto-picks pallas/xla by seq len
+    ffn_impl: str = "xla"              # "fused" = weight-stationary Pallas FFN
     remat: bool = False                # gradient checkpointing per layer
 
     @staticmethod
@@ -150,6 +151,29 @@ class BertSelfAttention(nn.Module):
         return out, probs
 
 
+class _KernelBias(nn.Module):
+    """Declare Dense-compatible ``{kernel, bias}`` params without the matmul.
+
+    The fused FFN kernel consumes raw weight matrices; declaring them under
+    the same child names nn.Dense would use ("intermediate"/"output" ->
+    kernel/bias) keeps checkpoints interchangeable across ``ffn_impl``.
+    """
+
+    cfg: BertConfig
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel",
+                       nn.initializers.normal(self.cfg.initializer_range),
+                       (self.features_in, self.features_out),
+                       self.cfg.param_dtype)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features_out,), self.cfg.param_dtype)
+        return k, b
+
+
 class BertLayer(nn.Module):
     """Post-LN transformer block (attention + GELU FFN), HF-BERT layout.
 
@@ -166,9 +190,18 @@ class BertLayer(nn.Module):
         attn_out, probs = BertSelfAttention(cfg, name="attention")(
             hidden, attention_mask, deterministic=deterministic,
             output_attention=output_attention)
-        inter = _dense(cfg, cfg.intermediate_size, "intermediate")(attn_out)
-        inter = nn.gelu(inter, approximate=False)
-        out = _dense(cfg, cfg.hidden_size, "output")(inter)
+        if cfg.ffn_impl == "fused":
+            from simxns_tpu.ops.fused_ffn import fused_ffn
+
+            w1, b1 = _KernelBias(cfg, cfg.hidden_size,
+                                 cfg.intermediate_size, name="intermediate")()
+            w2, b2 = _KernelBias(cfg, cfg.intermediate_size,
+                                 cfg.hidden_size, name="output")()
+            out = fused_ffn(attn_out.astype(cfg.dtype), w1, b1, w2, b2)
+        else:
+            inter = _dense(cfg, cfg.intermediate_size, "intermediate")(attn_out)
+            inter = nn.gelu(inter, approximate=False)
+            out = _dense(cfg, cfg.hidden_size, "output")(inter)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                            param_dtype=cfg.param_dtype, name="output_layer_norm")(

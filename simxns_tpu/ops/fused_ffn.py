@@ -1,0 +1,129 @@
+"""Weight-stationary fused FFN Pallas kernel (gelu(x@W1+b1)@W2+b2).
+
+The encode-phase MXU attribution (ROADMAP item 2) showed the BERT FFN chain
+is the binder: XLA tops out ~53% MXU at SimXNS shapes because the [M, 4H]
+intermediate round-trips HBM between the two GEMMs (at B=1024, S=128, H=768
+that is 805 MB each way per layer). This kernel keeps W1/W2 stationary in
+VMEM across the whole batch (their BlockSpec index never changes, so Mosaic
+DMAs them once), tiles the token dim, and materializes the intermediate only
+as a [tile_m, 4H] VMEM scratch — HBM traffic drops to x once in, y once out.
+
+Both GEMMs run on the MXU (bf16 in, f32 accumulate); bias-add and exact
+(erf) GELU run on the VPU between them, in f32. Backward falls back to the
+XLA expression via ``jax.vjp`` — training grads are plain large GEMMs that
+XLA already schedules well; the mine/encode phase (forward-only, the
+reference's "Evaluation 3h" envelope) is where the fusion pays.
+
+Replaces: HF ``BertIntermediate``+``BertOutput`` torch GEMMs (SURVEY.md
+§2.1; ``SimANS/model/models.py`` via HF BertLayer).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Flip in tests to run under the Pallas interpreter on CPU.
+INTERPRET = False
+
+_TILE_M = 256
+
+
+def ffn_reference(x: jax.Array, w1, b1, w2, b2) -> jax.Array:
+    """The XLA expression the kernel must match (and the VJP source).
+
+    Mirrors two ``nn.Dense(dtype=bf16)`` + exact gelu: weights cast to the
+    activation dtype, f32 MXU accumulation, bias added post-cast.
+    """
+    dt = x.dtype
+    h = jnp.dot(x, w1.astype(dt), preferred_element_type=jnp.float32)
+    h = (h.astype(dt) + b1.astype(dt)).astype(jnp.float32)
+    g = jax.nn.gelu(h, approximate=False).astype(dt)
+    y = jnp.dot(g, w2.astype(dt), preferred_element_type=jnp.float32)
+    return (y.astype(dt) + b2.astype(dt))
+
+
+def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    dt = o_ref.dtype
+    x = x_ref[...]                                    # [TM, H] bf16
+    h = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    h = (h.astype(dt) + b1_ref[0].astype(dt)).astype(jnp.float32)
+    g = jax.nn.gelu(h, approximate=False).astype(dt)  # [TM, F]
+    y = jnp.dot(g, w2_ref[...], preferred_element_type=jnp.float32)
+    o_ref[...] = (y.astype(dt) + b2_ref[0].astype(dt))
+
+
+def _ffn_call(x2d: jax.Array, w1, b1, w2, b2, *, tile_m: int,
+              interpret: bool) -> jax.Array:
+    m, h = x2d.shape
+    f = w1.shape[1]
+    dt = x2d.dtype
+    grid = (m // tile_m,)
+    flops = 2 * m * h * f * 2
+    return pl.pallas_call(
+        _ffn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, h), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, h), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * m * h * 2 + (2 * h * f) * 2,
+            transcendentals=m * f),
+        interpret=interpret,
+    )(x2d, w1.astype(dt), b1.reshape(1, -1), w2.astype(dt),
+      b2.reshape(1, -1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused(tile_m, x2d, w1, b1, w2, b2):
+    return _ffn_call(x2d, w1, b1, w2, b2, tile_m=tile_m,
+                     interpret=INTERPRET or
+                     jax.devices()[0].platform != "tpu")
+
+
+def _fused_fwd(tile_m, x2d, w1, b1, w2, b2):
+    return _fused(tile_m, x2d, w1, b1, w2, b2), (x2d, w1, b1, w2, b2)
+
+
+def _fused_bwd(tile_m, res, g):
+    _, vjp = jax.vjp(ffn_reference, *res)
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_ffn(x: jax.Array, w1: jax.Array, b1: jax.Array,
+              w2: jax.Array, b2: jax.Array) -> jax.Array:
+    """Fused BERT FFN over [..., H] activations.
+
+    Falls back to the identical XLA expression when shapes don't satisfy the
+    kernel's lane constraints (H, F multiples of 128) or the leading dims
+    are too small to tile.
+    """
+    h = x.shape[-1]
+    f = w1.shape[1]
+    lead = x.shape[:-1]
+    m = 1
+    for dim in lead:
+        m *= dim
+    tile = min(_TILE_M, max(16, -(-m // 16) * 16))
+    if h % 128 or f % 128 or m % tile:
+        return ffn_reference(x, w1, b1, w2, b2)
+    y = _fused(tile, x.reshape(m, h), w1, b1, w2, b2)
+    return y.reshape(*lead, h)

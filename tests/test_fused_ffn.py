@@ -1,0 +1,102 @@
+"""Fused FFN Pallas kernel vs the XLA reference expression (interpreter)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import simxns_tpu.ops.fused_ffn as ff
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    old = ff.INTERPRET
+    ff.INTERPRET = True
+    yield
+    ff.INTERPRET = old
+
+
+def _weights(h=128, f=256, seed=0):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.normal(0, 0.02, (h, f)), jnp.float32),
+            jnp.asarray(rng.normal(0, 0.02, (f,)), jnp.float32),
+            jnp.asarray(rng.normal(0, 0.02, (f, h)), jnp.float32),
+            jnp.asarray(rng.normal(0, 0.02, (h,)), jnp.float32))
+
+
+def test_kernel_matches_reference_f32():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((64, 128), dtype=np.float32))
+    w1, b1, w2, b2 = _weights()
+    y = ff.fused_ffn(x, w1, b1, w2, b2)
+    ref = ff.ffn_reference(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_kernel_matches_reference_bf16_3d():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 16, 128), dtype=np.float32),
+                    jnp.bfloat16)
+    w1, b1, w2, b2 = _weights(seed=3)
+    y = ff.fused_ffn(x, w1, b1, w2, b2)
+    ref = ff.ffn_reference(x, w1, b1, w2, b2)
+    assert y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2)
+
+
+def test_grads_match_reference():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((32, 128), dtype=np.float32))
+    w1, b1, w2, b2 = _weights(seed=5)
+
+    gf = jax.grad(lambda *a: jnp.sum(ff.fused_ffn(*a) ** 2),
+                  argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gr = jax.grad(lambda *a: jnp.sum(ff.ffn_reference(*a) ** 2),
+                  argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_unaligned_shapes_fall_back():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((7, 96), dtype=np.float32))
+    w1 = jnp.asarray(rng.normal(0, 0.02, (96, 200)), jnp.float32)
+    b1 = jnp.zeros((200,))
+    w2 = jnp.asarray(rng.normal(0, 0.02, (200, 96)), jnp.float32)
+    b2 = jnp.zeros((96,))
+    y = ff.fused_ffn(x, w1, b1, w2, b2)
+    ref = ff.ffn_reference(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-6)
+
+
+def test_model_level_fused_equals_xla():
+    """BertEncoder(ffn_impl='fused') == 'xla' with shared params.
+
+    The param pytrees must be identical across impls (checkpoint
+    interchange), and outputs must agree.
+    """
+    from simxns_tpu.models import BertConfig
+    from simxns_tpu.models.bert import BertEncoder
+
+    cfg = BertConfig.tiny(hidden_size=128, intermediate_size=256, num_heads=4)
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(0, 1000, (2, 16)), jnp.int32)
+    mask = jnp.ones_like(ids)
+
+    m_xla = BertEncoder(cfg)
+    m_fused = BertEncoder(cfg.replace(ffn_impl="fused"))
+    params = m_xla.init(jax.random.PRNGKey(0), ids, mask)
+    params_f = m_fused.init(jax.random.PRNGKey(0), ids, mask)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_f))
+
+    out_x = m_xla.apply(params, ids, mask)
+    out_f = m_fused.apply(params, ids, mask)
+    np.testing.assert_allclose(np.asarray(out_f.last_hidden_state),
+                               np.asarray(out_x.last_hidden_state),
+                               atol=2e-5, rtol=2e-5)
