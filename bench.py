@@ -1,4 +1,4 @@
-"""Headline benchmark: corpus-encode throughput (the mining-phase hot loop).
+"""Headline benchmark: the mine phase at reference scale on real hardware.
 
 The only wall-clock number the reference publishes is "Evaluation 3h totally"
 for the 8-GPU MARCO corpus encode + search (``MASTER/finetune/
@@ -6,24 +6,41 @@ ft_MS_MASTER.sh:23``, SURVEY.md §6): 8.8M passages / 8 A100s / 3h
 ~= 102 passages/s per A100 for the encode-dominated mine phase. That is the
 ``vs_baseline`` denominator (per-chip).
 
-This benchmark encodes a synthetic corpus with the flagship BERT-base dual
-encoder (bf16, seq 128, CLS pooling) through the real
-``simxns_tpu.index.CorpusEncoder`` path on whatever chips are present, then
-runs a sharded MIPS top-100 search over the encoded corpus to include the
-search share of the phase, and reports passages/sec/chip.
+Two measured components, composed into the reference's working point
+(8.8M passages, ~7k MARCO-dev queries, top-100):
+
+- encode rate: BERT-base bf16 seq-128 passages through the real
+  ``CorpusEncoder`` path (16k-passage sample — the rate is flat in corpus
+  size), reported with MFU against the v5e bf16 peak;
+- search: top-100 over an actual 8.8M x 768 bf16 HBM-resident index (built
+  on-device), with recall@100 against an exact-scan oracle on a 128-query
+  subset — the FAISS-fp16 fidelity check VERDICT r1 asked for.
+
+Timing forces transfers (np.asarray) because this relay's
+``block_until_ready`` can return at dispatch (CLAUDE.md).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 A100_REF_PASSAGES_PER_SEC_PER_GPU = 8_800_000 / 8 / (3 * 3600)  # ~101.9
+PEAK_BF16 = 197e12            # v5e bf16 FLOP/s per chip
+REF_CORPUS = 8_800_000        # MARCO passage corpus
+REF_QUERIES = 7_000           # MARCO dev queries mined per refresh
+
+
+def _encode_flops(B, S, L=12, H=768, F=3072):
+    per_tok = L * 2 * (4 * H * H + 2 * H * F)
+    attn = L * 2 * 2 * S * S * H
+    return B * S * per_tok + B * attn
 
 
 def main():
@@ -33,19 +50,24 @@ def main():
     from simxns_tpu.index import CorpusEncoder, MIPSIndex
     from simxns_tpu.models import BiEncoder, BiEncoderConfig, BertConfig
     from simxns_tpu.parallel import create_mesh
+    from simxns_tpu.parallel.mesh import DATA_AXIS
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
+    on_tpu = jax.devices()[0].platform == "tpu"
     mesh = create_mesh()
     n_chips = int(np.prod(list(mesh.shape.values())))
 
+    # ---- encode rate (the phase's dominant share) -------------------------
     cfg = BiEncoderConfig(
         bert=BertConfig(num_layers=12, hidden_size=768, num_heads=12,
-                        intermediate_size=3072, dtype=jnp.bfloat16))
+                        intermediate_size=3072, dtype=jnp.bfloat16,
+                        ffn_impl=os.environ.get("SIMXNS_BENCH_FFN", "fused")))
     model = BiEncoder(cfg)
 
-    seq, chunk = 128, 1024 * n_chips  # 1024/chip measured best (2830 p/s vs 2456 at 512)
-    n_passages = 16 * chunk
+    seq, chunk = 128, 1024 * n_chips  # 1024/chip measured best in r1
+    n_sample = 16 * chunk
     rng = np.random.default_rng(0)
-    ids = rng.integers(5, 30000, size=(n_passages, seq)).astype(np.int32)
+    ids = rng.integers(5, 30000, size=(n_sample, seq)).astype(np.int32)
     mask = np.ones_like(ids)
 
     params = model.init(jax.random.PRNGKey(0), ids[:2, :32], mask[:2, :32],
@@ -54,37 +76,75 @@ def main():
     enc = CorpusEncoder(
         lambda p, i, m: model.apply(p, i, m, method="encode_passage"),
         mesh, chunk_size=chunk)
-
-    # warmup / compile
-    enc(params, ids[:chunk], mask[:chunk])
-
+    enc(params, ids[:chunk], mask[:chunk])          # compile
     t0 = time.time()
-    emb = enc(params, ids, mask)
+    emb = enc(params, ids, mask)                    # np round-trip = forced
     encode_s = time.time() - t0
+    encode_ps = n_sample / encode_s
+    mfu = _encode_flops(n_sample, seq) / encode_s / (PEAK_BF16 * n_chips)
 
-    # search share: MARCO dev is ~7k queries over 8.8M passages; scale the
-    # query count to this corpus size so the mix matches the reference phase.
-    # production mine-phase config: approx_max_k selection (measured on
-    # v5e-1: 36.6k qps @ recall@100=0.992 vs 4.9k qps exact @ 0.995 at
-    # 0.5M x 768 bf16, block 64k — both recall-limited by bf16 storage like
-    # FAISS fp16; block size here sized to the bench corpus)
-    index = MIPSIndex(mesh, block_size=8192, mode="approx",
+    # ---- search over a reference-scale index ------------------------------
+    # 8.8M x 768 bf16 (12.7 GiB — HBM-resident on one v5e chip, like the
+    # reference's FAISS fp16 shards across 8 GPUs). Rows generated on-device
+    # in chunks (a one-shot normal would materialize a 27 GB f32 temp).
+    n_rows = int(os.environ.get("SIMXNS_BENCH_ROWS",
+                                8_847_360 if on_tpu else 65_536))
+    gen_chunks = 32
+    rows = n_rows // gen_chunks
+    key = jax.random.key(0, impl="rbg")
+
+    @jax.jit
+    def gen():
+        def body(i, buf):
+            blk = jax.random.normal(jax.random.fold_in(key, i),
+                                    (rows, 768), jnp.float32)
+            return jax.lax.dynamic_update_slice(
+                buf, blk.astype(jnp.bfloat16), (i * rows, 0))
+
+        return jax.lax.fori_loop(0, gen_chunks, body,
+                                 jnp.zeros((gen_chunks * rows, 768),
+                                           jnp.bfloat16))
+
+    corpus = gen()
+    np.asarray(corpus[0, :1])
+
+    index = MIPSIndex(mesh, block_size=65536, mode="approx",
                       recall_target=0.95)
-    index.build(emb)
-    n_queries = max(64, int(n_passages * 7000 / 8_800_000))
-    q = emb[:n_queries] + 0.01
-    index.search(q[:64], 100)  # compile
+    index.embeddings = jax.device_put(
+        corpus, NamedSharding(mesh, P(DATA_AXIS, None)))
+    index.num_rows = corpus.shape[0]
+
+    n_queries = REF_QUERIES
+    q = np.asarray(jax.random.normal(jax.random.key(1, impl="rbg"),
+                                     (1024, 768), jnp.bfloat16), np.float32)
+    q = np.tile(q, (n_queries // 1024 + 1, 1))[:n_queries]
+    index.search(q[:256], 100)                      # compile
     t1 = time.time()
-    index.search(q, 100)
+    _, ids_found = index.search(q, 100)
     search_s = time.time() - t1
 
-    total_s = encode_s + search_s
-    per_chip = n_passages / total_s / n_chips
+    # recall@100 vs exact oracle on a 128-query subset
+    exact = MIPSIndex(mesh, block_size=65536, mode="exact")
+    exact.embeddings = index.embeddings
+    exact.num_rows = index.num_rows
+    _, oracle = exact.search(q[:128], 100)
+    recall = float(np.mean([
+        len(set(ids_found[i]) & set(oracle[i])) / 100 for i in range(128)]))
+
+    # ---- compose the reference working point ------------------------------
+    total_s = REF_CORPUS / encode_ps + search_s * (REF_QUERIES / n_queries)
+    per_chip = REF_CORPUS / total_s / n_chips
     result = {
         "metric": "mine_phase_passages_per_sec_per_chip",
         "value": round(per_chip, 2),
-        "unit": "passages/s/chip (BERT-base bf16 seq128 encode + top-100 search)",
+        "unit": ("passages/s/chip (8.8M-corpus mine: BERT-base bf16 seq128 "
+                 "encode + top-100 search over %d-row bf16 index)" % n_rows),
         "vs_baseline": round(per_chip / A100_REF_PASSAGES_PER_SEC_PER_GPU, 2),
+        "encode_ps_per_chip": round(encode_ps / n_chips, 1),
+        "encode_mfu": round(mfu, 4),
+        "search_qps": round(n_queries / search_s, 1),
+        "recall_at_100": round(recall, 4),
+        "index_rows": n_rows,
     }
     print(json.dumps(result))
 

@@ -49,12 +49,31 @@ def ffn_reference(x: jax.Array, w1, b1, w2, b2) -> jax.Array:
     return (y.astype(dt) + b2.astype(dt))
 
 
+def _erf(z):
+    """f32 erf via Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7).
+
+    Mosaic has no erf/erfc lowering (NotImplementedError on TPU), so exact
+    GELU inside the kernel uses this rational approximation — well under
+    bf16 resolution of the surrounding activations.
+    """
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    e = 1.0 - poly * jnp.exp(-a * a)
+    return jnp.where(z < 0, -e, e)
+
+
+def _gelu_exact(h):
+    return 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+
+
 def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     dt = o_ref.dtype
     x = x_ref[...]                                    # [TM, H] bf16
     h = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
     h = (h.astype(dt) + b1_ref[0].astype(dt)).astype(jnp.float32)
-    g = jax.nn.gelu(h, approximate=False).astype(dt)  # [TM, F]
+    g = _gelu_exact(h).astype(dt)                     # [TM, F]
     y = jnp.dot(g, w2_ref[...], preferred_element_type=jnp.float32)
     o_ref[...] = (y.astype(dt) + b2_ref[0].astype(dt))
 

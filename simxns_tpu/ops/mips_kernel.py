@@ -9,7 +9,15 @@ composition (``ops.topk.blocked_mips_topk``) is exact but selection-bound:
 PartialReduce runs *after* each einsum instead of overlapping it.
 
 This kernel fuses selection INTO the matmul program so the VPU reduction
-hides under the MXU:
+hides under the MXU. Measured (v5e-1, bf16, k=100, 256-query batches,
+bench_r2_results.jsonl): at 8.8M x 768 the kernel runs 6.9k qps vs approx's
+7.7k — BOTH at ~50% of peak FLOP/s, which is this chip's effective matmul
+ceiling (pure GEMM chains measure 58%), i.e. brute-force search is compute-
+roofline-bound at mining scale and XLA's approx_max_k is already within 10%
+of attainable; the engine default therefore stays ``mode='approx'``, with
+this kernel as the fused alternative. A corpus-transposed ([H, N]) variant
+was tried and REJECTED: column-block DMA strides thrash HBM (2.0k qps at
+8.8M — 3.4x worse; see ROADMAP).
 
 - grid ``(num_corpus_blocks, num_query_tiles)`` — corpus blocks on the
   OUTER axis, so each ``[block_n, H]`` corpus tile is DMA'd into VMEM once
