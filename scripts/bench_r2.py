@@ -175,6 +175,16 @@ def stage_ffn():
            "xla_flax_ms": t_flax * 1e3,
            "xla_flax_mxu": flops / t_flax / PEAK_BF16}
     yr = np.asarray(head(ff.ffn_reference)(x, w1, b1, w2, b2))
+    try:
+        i8 = chained(ff.int8_ffn)
+        i8(x)
+        t = timed_call(i8, x) / ITERS
+        res["int8_ms"] = t * 1e3
+        res["int8_mxu_bf16eq"] = flops / t / PEAK_BF16
+        y = np.asarray(head(ff.int8_ffn)(x, w1, b1, w2, b2))
+        res["int8_maxerr"] = float(np.abs(y - yr).max())
+    except Exception as e:  # noqa: BLE001
+        res["int8_error"] = repr(e)[:300]
     for tile in (256, 512):
         try:
             fn = functools.partial(ff._fused, tile)
@@ -208,8 +218,8 @@ def stage_encode():
 
     res = {}
     params = None
-    for ffn in ("xla", "fused"):
-        for attn in ("xla", "group"):
+    for ffn in ("xla", "fused", "int8"):
+        for attn in ("xla",):
             cfg = BiEncoderConfig(bert=BertConfig(
                 num_layers=12, hidden_size=768, num_heads=12,
                 intermediate_size=3072, dtype=jnp.bfloat16,

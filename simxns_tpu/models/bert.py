@@ -50,7 +50,8 @@ class BertConfig:
     dtype: Any = jnp.bfloat16          # activation/compute dtype
     param_dtype: Any = jnp.float32     # master params stay f32
     attention_impl: str = "flash"      # "flash" auto-picks pallas/xla by seq len
-    ffn_impl: str = "xla"              # "fused" = weight-stationary Pallas FFN
+    ffn_impl: str = "xla"              # "fused" = weight-stationary Pallas FFN;
+                                       # "int8" = quantized encode-only variant
     remat: bool = False                # gradient checkpointing per layer
 
     @staticmethod
@@ -190,14 +191,17 @@ class BertLayer(nn.Module):
         attn_out, probs = BertSelfAttention(cfg, name="attention")(
             hidden, attention_mask, deterministic=deterministic,
             output_attention=output_attention)
-        if cfg.ffn_impl == "fused":
-            from simxns_tpu.ops.fused_ffn import fused_ffn
+        if cfg.ffn_impl in ("fused", "int8"):
+            from simxns_tpu.ops.fused_ffn import fused_ffn, int8_ffn
 
             w1, b1 = _KernelBias(cfg, cfg.hidden_size,
                                  cfg.intermediate_size, name="intermediate")()
             w2, b2 = _KernelBias(cfg, cfg.intermediate_size,
                                  cfg.hidden_size, name="output")()
-            out = fused_ffn(attn_out.astype(cfg.dtype), w1, b1, w2, b2)
+            # "int8" is the encode/serving path (2x MXU peak); round() has
+            # zero gradient, so it must not be used for training.
+            impl = int8_ffn if cfg.ffn_impl == "int8" else fused_ffn
+            out = impl(attn_out.astype(cfg.dtype), w1, b1, w2, b2)
         else:
             inter = _dense(cfg, cfg.intermediate_size, "intermediate")(attn_out)
             inter = nn.gelu(inter, approximate=False)

@@ -127,6 +127,93 @@ def _fused_bwd(tile_m, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+# --- int8 variant ------------------------------------------------------------
+#
+# v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 vs 197 TOPS).
+# For the forward-only encode/mine phase (VERDICT r1 item 4's second lever)
+# we quantize weights per OUTPUT CHANNEL and activations per TOKEN (absmax
+# symmetric), dequantize in f32 between the two GEMMs, and keep bias + GELU
+# exact. Retrieval embeddings tolerate this easily (the index already stores
+# bf16); the training path never uses it.
+
+def _quant_rows(x):
+    """Per-row symmetric int8 quantization: -> (q int8, scale f32 [M,1])."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def quantize_weight(w):
+    """Per-output-channel symmetric int8: [I, O] -> (int8 [I, O], f32 [1, O])."""
+    s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def _ffn_int8_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                     o_ref):
+    xq, xs = _quant_rows(x_ref[...])                  # [TM, H] i8, [TM, 1]
+    acc = jnp.dot(xq, w1_ref[...],
+                  preferred_element_type=jnp.int32)   # [TM, F] i32
+    h = acc.astype(jnp.float32) * xs * s1_ref[...] + b1_ref[...].astype(
+        jnp.float32)
+    g = _gelu_exact(h)
+    gq, gs = _quant_rows(g)
+    acc2 = jnp.dot(gq, w2_ref[...], preferred_element_type=jnp.int32)
+    y = acc2.astype(jnp.float32) * gs * s2_ref[...] + b2_ref[...].astype(
+        jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def int8_ffn(x: jax.Array, w1: jax.Array, b1: jax.Array,
+             w2: jax.Array, b2: jax.Array, *,
+             tile_m: int = 256) -> jax.Array:
+    """Int8-MXU BERT FFN over [..., H] (forward/encode path only).
+
+    Same interface as :func:`fused_ffn`; weights are quantized per call in
+    XLA (trivial next to the tile work). Falls back to the f32/bf16 XLA
+    expression when shapes don't tile.
+    """
+    h = x.shape[-1]
+    f = w1.shape[1]
+    lead = x.shape[:-1]
+    m = 1
+    for dim in lead:
+        m *= dim
+    tile = min(tile_m, max(32, -(-m // 32) * 32))  # int8 sublane tile is 32
+    if h % 128 or f % 128 or m % tile:
+        return ffn_reference(x, w1, b1, w2, b2)
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    x2d = x.reshape(m, h)
+    interpret = INTERPRET or jax.devices()[0].platform != "tpu"
+    y = pl.pallas_call(
+        _ffn_int8_kernel,
+        grid=(m // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, h), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, h), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * h * f,
+            bytes_accessed=2 * m * h * 2 + 2 * h * f,
+            transcendentals=m * f),
+        interpret=interpret,
+    )(x2d, w1q, s1, b1.reshape(1, -1), w2q, s2, b2.reshape(1, -1))
+    return y.reshape(*lead, h)
+
+
 def fused_ffn(x: jax.Array, w1: jax.Array, b1: jax.Array,
               w2: jax.Array, b2: jax.Array) -> jax.Array:
     """Fused BERT FFN over [..., H] activations.

@@ -104,7 +104,16 @@ class AR2CoTrainer:
                 batch = next(it)
             except StopIteration:
                 it = iter(self.batches())
-                batch = next(it)
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    # a refreshed dataset can come back with < batch_size
+                    # usable queries (mining found too few hits); surface a
+                    # real error instead of a bare StopIteration from `run`
+                    raise RuntimeError(
+                        "AR2CoTrainer: batches() yielded no batches "
+                        "(mined dataset too small for the batch size)"
+                    ) from None
             flag = self._flag()
             dev = _device_batch(batch, self.mesh)
             if flag == 1:

@@ -100,3 +100,34 @@ def test_model_level_fused_equals_xla():
     np.testing.assert_allclose(np.asarray(out_f.last_hidden_state),
                                np.asarray(out_x.last_hidden_state),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_int8_ffn_close_to_reference():
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((64, 128), dtype=np.float32))
+    w1, b1, w2, b2 = _weights(seed=9)
+    y = ff.int8_ffn(x, w1, b1, w2, b2)
+    ref = ff.ffn_reference(x, w1, b1, w2, b2)
+    # per-token/per-channel symmetric int8: ~1% relative error budget
+    err = np.abs(np.asarray(y) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert err.max() / scale < 0.02, err.max() / scale
+
+
+def test_int8_model_embeddings_near_f32():
+    """CLS embeddings from int8 encode stay ~parallel to the f32 path."""
+    from simxns_tpu.models import BertConfig
+    from simxns_tpu.models.bert import BertEncoder
+
+    cfg = BertConfig.tiny(hidden_size=128, intermediate_size=256, num_heads=4)
+    rng = np.random.default_rng(10)
+    ids = jnp.asarray(rng.integers(0, 1000, (4, 32)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    m_f32 = BertEncoder(cfg)
+    m_int8 = BertEncoder(cfg.replace(ffn_impl="int8"))
+    params = m_f32.init(jax.random.PRNGKey(0), ids, mask)
+    a = np.asarray(m_f32.apply(params, ids, mask).pooled, np.float32)
+    b = np.asarray(m_int8.apply(params, ids, mask).pooled, np.float32)
+    cos = np.sum(a * b, 1) / (np.linalg.norm(a, axis=1)
+                              * np.linalg.norm(b, axis=1))
+    assert cos.min() > 0.995, cos
