@@ -456,7 +456,64 @@ def stage_mips_t(n, tag, reps=8, sweeps=((2048, 256, 128),
     del corpus_t, queries
 
 
+def stage_serve():
+    """Serving query path: fused encode+search device time vs e2e latency.
+
+    Round-1's 77ms p50 was relay-dominated; this splits device compute
+    (scan-amortized inside one jit) from the end-to-end dispatch+transfer
+    round-trip a tunneled client sees. On co-located production hosts the
+    device number is the p50 driver.
+    """
+    from simxns_tpu.models import BiEncoder, BiEncoderConfig, BertConfig
+    from simxns_tpu.index import MIPSIndex
+    from simxns_tpu.parallel import create_mesh
+
+    mesh = create_mesh()
+    cfg = BiEncoderConfig(bert=BertConfig(
+        num_layers=12, hidden_size=768, num_heads=12,
+        intermediate_size=3072, dtype=jnp.bfloat16))
+    model = BiEncoder(cfg)
+    rng = np.random.default_rng(3)
+    qi = jnp.asarray(rng.integers(5, 30000, (8, 32)), jnp.int32)
+    qm = jnp.ones_like(qi)
+    params = model.init(jax.random.PRNGKey(0), qi[:2], qm[:2],
+                        qi[:2], qm[:2])
+    n = 1_048_576  # 1M-passage serving index
+    corpus = _gen_corpus(n, chunks=16)
+    np.asarray(corpus[0, :1])
+    index = MIPSIndex(mesh, block_size=65536, mode="approx")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from simxns_tpu.parallel.mesh import DATA_AXIS
+    index.embeddings = jax.device_put(
+        corpus, NamedSharding(mesh, P(DATA_AXIS, None)))
+    index.num_rows = n
+    search = index._make_search_fn(10)
+
+    def query_once(params, qi, qm, emb):
+        q_emb = model.apply(params, qi, qm, method="encode_query")
+        return search(q_emb.astype(emb.dtype), emb)
+
+    e2e = jax.jit(query_once)
+    np.asarray(e2e(params, qi, qm, index.embeddings)[1])
+    t_e2e = timed_call(lambda: e2e(params, qi, qm, index.embeddings)[1])
+
+    @jax.jit
+    def device16(params, qi, qm, emb):
+        def body(c, _):
+            s, i = query_once(params, qi, qm, emb)
+            return c + jnp.sum(i), None
+
+        out, _ = jax.lax.scan(body, jnp.int32(0), None, length=16)
+        return out
+
+    np.asarray(device16(params, qi, qm, index.embeddings))
+    t_dev = timed_call(device16, params, qi, qm, index.embeddings) / 16
+    emit(stage="serve", n=n, batch=8, k=10,
+         device_ms=t_dev * 1e3, e2e_ms=t_e2e * 1e3)
+
+
 STAGES = {
+    "serve": stage_serve,
     "attn": stage_attn,
     "ffn": stage_ffn,
     "encode": stage_encode,
