@@ -488,10 +488,11 @@ def stage_serve():
         corpus, NamedSharding(mesh, P(DATA_AXIS, None)))
     index.num_rows = n
     search = index._make_search_fn(10)
+    scales = index._scales_arg()
 
     def query_once(params, qi, qm, emb):
         q_emb = model.apply(params, qi, qm, method="encode_query")
-        return search(q_emb.astype(emb.dtype), emb)
+        return search(q_emb.astype(emb.dtype), emb, scales)
 
     e2e = jax.jit(query_once)
     np.asarray(e2e(params, qi, qm, index.embeddings)[1])
@@ -512,6 +513,114 @@ def stage_serve():
          device_ms=t_dev * 1e3, e2e_ms=t_e2e * 1e3)
 
 
+def _gen_corpus_int8(n, h=768, chunks=32):
+    """Generate an int8-quantized corpus on-device without the f32 source
+    ever existing in full (codes [N,H] i8 + per-row scales f32)."""
+    from simxns_tpu.ops.mips_kernel import quantize_rows
+
+    assert n % chunks == 0
+    rows = n // chunks
+    key = jax.random.key(0, impl="rbg")
+
+    @jax.jit
+    def gen():
+        def body(i, bufs):
+            codes_buf, scale_buf = bufs
+            blk = jax.random.normal(jax.random.fold_in(key, i),
+                                    (rows, h), jnp.float32)
+            codes, scales = quantize_rows(blk)
+            return (jax.lax.dynamic_update_slice(codes_buf, codes,
+                                                 (i * rows, 0)),
+                    jax.lax.dynamic_update_slice(scale_buf, scales,
+                                                 (i * rows,)))
+
+        return jax.lax.fori_loop(
+            0, chunks, body,
+            (jnp.zeros((n, h), jnp.int8), jnp.zeros((n,), jnp.float32)))
+
+    return gen()
+
+
+def stage_mips_int8(n, tag, reps=8, fidelity=False):
+    """Int8 (SQ8-analog) index at scale: qps + recall; halves index HBM."""
+    from simxns_tpu.ops.mips_kernel import (fused_mips_topk_int8,
+                                             quantize_rows)
+    from simxns_tpu.ops.topk import blocked_mips_topk
+
+    codes, scales = _gen_corpus_int8(n)
+    np.asarray(codes[0, :1])
+    qb = 256
+    queries = jax.random.normal(jax.random.key(1, impl="rbg"),
+                                (reps * qb, 768), jnp.bfloat16)
+    k = 100
+    res = {}
+
+    @jax.jit
+    def exact_i8(q, c, s):
+        return blocked_mips_topk(q, c, k, block_size=65536, mode="exact",
+                                 row_scales=s)
+
+    try:
+        oracle = np.asarray(exact_i8(queries[:128], codes, scales)[1])
+    except Exception as e:  # noqa: BLE001
+        oracle = None
+        res["oracle_error"] = repr(e)[:300]
+
+    if fidelity:
+        # quantization fidelity: int8-exact vs bf16-exact on the SAME data
+        try:
+            bf = _gen_corpus(n)
+
+            @jax.jit
+            def exact_bf(q, c):
+                return blocked_mips_topk(q, c, k, block_size=65536,
+                                         mode="exact")
+
+            truth = np.asarray(exact_bf(queries[:128], bf)[1])
+            c2, s2 = jax.jit(quantize_rows)(bf)
+            q_ids = np.asarray(exact_i8(queries[:128], c2, s2)[1])
+            res["sq8_recall100_vs_f32"] = _recall(q_ids, truth)
+            del bf, c2, s2
+        except Exception as e:  # noqa: BLE001
+            res["fidelity_error"] = repr(e)[:300]
+
+    q_stack = queries.reshape(reps, qb, 768)
+    fns = {
+        "fused_i8": lambda q, c, s: fused_mips_topk_int8(
+            q, c, s, k, block_n=2048, block_q=256, interpret=False),
+        "approx_i8": lambda q, c, s: blocked_mips_topk(
+            q, c, k, block_size=65536, mode="approx", recall_target=0.95,
+            row_scales=s),
+    }
+    for name, fn in fns.items():
+        try:
+            @jax.jit
+            def run(qs, c, s, _fn=fn):
+                def body(_, q):
+                    sc, i = _fn(q, c, s)
+                    return None, jnp.sum(i)
+
+                _, sums = jax.lax.scan(body, None, qs)
+                return sums
+
+            np.asarray(run(q_stack, codes, scales))
+            t = timed_call(run, q_stack, codes, scales)
+            res[f"{name}_qps"] = reps * qb / t
+            if oracle is not None:
+                _, ii = jax.jit(fn)(queries[:128], codes, scales)
+                res[f"{name}_recall100_vs_i8exact"] = _recall(
+                    np.asarray(ii), oracle)
+        except Exception as e:  # noqa: BLE001
+            res[f"{name}_error"] = repr(e)[:300]
+    try:
+        stats = jax.devices()[0].memory_stats()
+        res["hbm_peak_gb"] = round(
+            stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:  # noqa: BLE001
+        pass
+    emit(stage=tag, n=n, k=k, **res)
+
+
 STAGES = {
     "serve": stage_serve,
     "attn": stage_attn,
@@ -522,6 +631,10 @@ STAGES = {
                                  modes=("approx", "fused")),
     "mips05t": lambda: stage_mips_t(524288, "mips05t"),
     "mips88t": lambda: stage_mips_t(8847360, "mips88t"),
+    "mips2m_i8": lambda: stage_mips_int8(2097152, "mips2m_i8",
+                                         fidelity=True),
+    "mips88_i8": lambda: stage_mips_int8(8847360, "mips88_i8"),
+    "mips16m_i8": lambda: stage_mips_int8(16777216, "mips16m_i8"),
 }
 
 if __name__ == "__main__":

@@ -82,7 +82,11 @@ class MIPSIndex:
     The FAISS ``IndexFlatIP`` + ``GpuMultipleClonerOptions(shard=True)``
     equivalent: embeddings sharded over the ``data`` axis, searched with a
     per-shard streaming top-k and a cross-shard merge. fp16 in FAISS
-    (``useFloat16=True``) maps to bf16 storage (``store_dtype``).
+    (``useFloat16=True``) maps to bf16 storage (``store_dtype``);
+    ``store_dtype=jnp.int8`` is the FAISS-SQ8 analog — per-row symmetric
+    codes + f32 scales, halving index HBM (21M wiki rows fit two v5e chips
+    instead of eight A100s) and running the score matmul at the int8 MXU
+    rate under ``mode='fused'``.
     """
 
     def __init__(self, mesh: Mesh, block_size: int = 4096,
@@ -91,15 +95,25 @@ class MIPSIndex:
         self.mesh = mesh
         self.block_size = block_size
         self.store_dtype = store_dtype
-        self.mode = mode                      # "exact" | "approx"
+        self.quantized = store_dtype == jnp.int8
+        self.mode = mode                      # "exact" | "approx" | "fused"
         self.recall_target = recall_target
         self.embeddings: Optional[jax.Array] = None
+        self.row_scales: Optional[jax.Array] = None
         self.num_rows = 0
         self._search_cache: Dict[Tuple[int, int], Callable] = {}
 
     @property
     def n_shards(self) -> int:
         return self.mesh.shape[DATA_AXIS]
+
+    @staticmethod
+    def _quantize(embeddings: np.ndarray):
+        """Per-row symmetric int8 on the host: -> (codes i8, scales f32)."""
+        x = embeddings.astype(np.float32, copy=False)
+        s = np.maximum(np.abs(x).max(axis=1) / 127.0, 1e-12)
+        codes = np.clip(np.rint(x / s[:, None]), -127, 127).astype(np.int8)
+        return codes, s.astype(np.float32)
 
     def build(self, embeddings: np.ndarray) -> None:
         """Shard [N, H] embeddings row-wise over the mesh (pads to shards)."""
@@ -108,13 +122,28 @@ class MIPSIndex:
         padded = pad_to_multiple(n, self.n_shards * self.block_size)
         if padded != n:
             embeddings = np.pad(embeddings, ((0, padded - n), (0, 0)))
-        arr = jnp.asarray(embeddings, dtype=self.store_dtype)
-        self.embeddings = jax.device_put(
-            arr, NamedSharding(self.mesh, P(DATA_AXIS, None)))
+        if self.quantized:
+            codes, scales = self._quantize(embeddings)
+            self.embeddings = jax.device_put(
+                jnp.asarray(codes),
+                NamedSharding(self.mesh, P(DATA_AXIS, None)))
+            self.row_scales = jax.device_put(
+                jnp.asarray(scales), NamedSharding(self.mesh, P(DATA_AXIS)))
+        else:
+            arr = jnp.asarray(embeddings, dtype=self.store_dtype)
+            self.embeddings = jax.device_put(
+                arr, NamedSharding(self.mesh, P(DATA_AXIS, None)))
         self._search_cache.clear()
 
     def update_rows(self, start: int, embeddings: np.ndarray) -> None:
         """In-place shard update (incremental re-encode between phases)."""
+        if self.quantized:
+            codes, scales = self._quantize(np.asarray(embeddings))
+            self.embeddings = jax.lax.dynamic_update_slice(
+                self.embeddings, jnp.asarray(codes), (start, 0))
+            self.row_scales = jax.lax.dynamic_update_slice(
+                self.row_scales, jnp.asarray(scales), (start,))
+            return
         arr = jnp.asarray(embeddings, dtype=self.store_dtype)
         self.embeddings = jax.lax.dynamic_update_slice(
             self.embeddings, arr, (start, 0))
@@ -124,18 +153,21 @@ class MIPSIndex:
         (scores, ids)`` — composable inside larger jitted programs (e.g. the
         serving facade's fused encode+search)."""
         mesh, block = self.mesh, self.block_size
+        quantized = self.quantized
         shard_rows = self.embeddings.shape[0] // self.n_shards
         num_rows = self.num_rows
 
-        def local_search(q, shard):
+        def local_search(q, shard, scales):
             rank = jax.lax.axis_index(DATA_AXIS)
             offset = rank * shard_rows
             scores, ids = blocked_mips_topk(
-                q, shard.astype(q.dtype), k, block_size=block,
+                q, shard if quantized else shard.astype(q.dtype), k,
+                block_size=block,
                 id_offset=offset, valid_n=jnp.minimum(
                     jnp.maximum(num_rows - offset, 0), shard_rows),
                 axis_name=DATA_AXIS, mode=self.mode,
-                recall_target=self.recall_target)
+                recall_target=self.recall_target,
+                row_scales=scales if quantized else None)
             # [n_shards, Q, k] on every device after gather; every device
             # merges the same gathered lists, so outputs are replicated by
             # construction (hence check_vma=False below — JAX cannot prove
@@ -146,13 +178,22 @@ class MIPSIndex:
 
         return jax.shard_map(
             local_search, mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS, None)),
+            in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS)),
             out_specs=(P(), P()),
             check_vma=False,
         )
 
     def _make_search(self, k: int, q_len: int) -> Callable:
         return jax.jit(self._make_search_fn(k))
+
+    def _scales_arg(self) -> jax.Array:
+        """Third search-fn arg: real row scales, or a 1-per-shard dummy
+        (the unquantized branch never reads it — static closure branch)."""
+        if self.quantized:
+            return self.row_scales
+        return jax.device_put(
+            jnp.zeros((self.n_shards,), jnp.float32),
+            NamedSharding(self.mesh, P(DATA_AXIS)))
 
     def search(self, queries: np.ndarray, k: int,
                query_batch: int = 1024) -> Tuple[np.ndarray, np.ndarray]:
@@ -166,14 +207,16 @@ class MIPSIndex:
         if key not in self._search_cache:
             self._search_cache[key] = self._make_search(k, qb)
         fn = self._search_cache[key]
+        q_dtype = jnp.bfloat16 if self.quantized else self.store_dtype
+        scales = self._scales_arg()
         all_s, all_i = [], []
         for s in range(0, nq, qb):
             chunk = q[s: s + qb]
             valid = chunk.shape[0]
             if valid < qb:
                 chunk = np.pad(chunk, ((0, qb - valid), (0, 0)))
-            sc, ids = fn(jnp.asarray(chunk, dtype=self.store_dtype),
-                         self.embeddings)
+            sc, ids = fn(jnp.asarray(chunk, dtype=q_dtype),
+                         self.embeddings, scales)
             all_s.append(np.asarray(sc[:valid], np.float32))
             all_i.append(np.asarray(ids[:valid]))
         return np.concatenate(all_s), np.concatenate(all_i)

@@ -57,6 +57,30 @@ def _use_interpret() -> bool:
     return INTERPRET or jax.devices()[0].platform != "tpu"
 
 
+def _fit_bucket(bucket: int, block_n: int, total_n: int, k: int) -> int:
+    """Shrink the candidate bucket for small corpora/blocks.
+
+    At scale the defaults hold (128-wide buckets); on tiny shards the
+    reduction must leave >= k survivors and divide ``block_n``.
+    """
+    bucket = min(bucket, block_n)
+    while block_n % bucket:
+        bucket //= 2
+    while (bucket > 8 and total_n // bucket < k
+           and block_n % (bucket // 2) == 0):
+        bucket //= 2
+    return max(bucket, 1)
+
+
+def _pad_candidates(flat_s: jax.Array, flat_i: jax.Array, k: int):
+    """Guarantee >= k candidate columns (pad scores with -inf, ids -> -1)."""
+    if flat_s.shape[1] < k:
+        pad = k - flat_s.shape[1]
+        flat_s = jnp.pad(flat_s, ((0, 0), (0, pad)), constant_values=_NEG)
+        flat_i = jnp.pad(flat_i, ((0, 0), (0, pad)))
+    return flat_s, flat_i
+
+
 def _mips_kernel(valid_n_ref, q_ref, c_ref, s_out_ref, i_out_ref, *,
                  block_n: int, block_q: int, bucket: int):
     """One (corpus-block, query-tile) program: matmul + fused bucket-argmax.
@@ -142,6 +166,145 @@ def _candidates(queries: jax.Array, corpus: jax.Array, valid_n,
     )(jnp.asarray(valid_n, jnp.int32).reshape(1), queries, corpus)
 
 
+def _mips_kernel_int8(valid_n_ref, q_ref, qs_ref, c_ref, cs_ref,
+                      s_out_ref, i_out_ref, *,
+                      block_n: int, block_q: int, bucket: int):
+    """Int8 variant: codes x codes on the MXU at 2x the bf16 rate.
+
+    ``q_ref`` [block_q, H] int8 with per-query scales ``qs_ref``
+    [block_q, 1]; ``c_ref`` [block_n, H] int8 with per-row scales
+    ``cs_ref`` [1, block_n]. The FAISS-SQ8 analog: scores =
+    (q8 @ c8^T) * qs * cs, then the same fused bucket-argmax reduction.
+    """
+    n_idx = pl.program_id(0)
+    nb = block_n // bucket
+
+    acc = jax.lax.dot_general(
+        q_ref[...], c_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)             # [block_q, block_n]
+    scores = acc.astype(jnp.float32) * qs_ref[...] * cs_ref[...]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_n), 1)
+    valid = n_idx * block_n + col < valid_n_ref[0]
+    scores = jnp.where(valid, scores, jnp.float32(_NEG))
+
+    s3 = scores.reshape(block_q, nb, bucket)
+    best = jnp.max(s3, axis=-1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block_q, nb, bucket), 2)
+    in_bucket = jnp.min(
+        jnp.where(s3 >= best[..., None], lane, bucket), axis=-1)
+    bucket_base = jax.lax.broadcasted_iota(jnp.int32, (block_q, nb), 1)
+    ids = n_idx * block_n + bucket_base * bucket + in_bucket
+
+    s_out_ref[0] = best
+    i_out_ref[0] = ids
+
+
+def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 (FAISS SQ8 analog): [N,H] -> (codes, scales).
+
+    ``scales`` is [N] f32; ``x ~ codes * scales[:, None]``.
+    """
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    codes = jnp.clip(jnp.round(x.astype(jnp.float32) / s[:, None]),
+                     -127, 127).astype(jnp.int8)
+    return codes, s
+
+
+def fused_mips_topk_int8(
+    queries: jax.Array,
+    codes: jax.Array,
+    row_scales: jax.Array,
+    k: int,
+    *,
+    block_n: int = 2048,
+    block_q: int = 256,
+    bucket: int = 128,
+    id_offset: jax.Array | int = 0,
+    valid_n: jax.Array | int | None = None,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused top-k over an int8-quantized corpus: [Q,H] x int8 [N,H].
+
+    ``codes``/``row_scales`` come from :func:`quantize_rows` (build-time);
+    queries are float and are per-row-quantized here. Same contract as
+    :func:`fused_mips_topk` otherwise. Halves index HBM vs bf16 and runs
+    the score matmul at the int8 MXU rate (2x bf16 peak).
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    n, h = codes.shape
+    if h % 128 != 0:
+        # zero columns change neither the int8 dots nor per-row maxima
+        hp = 128 - h % 128
+        codes = jnp.pad(codes, ((0, 0), (0, hp)))
+        queries = jnp.pad(queries, ((0, 0), (0, hp)))
+        h += hp
+    nq = queries.shape[0]
+    if valid_n is None:
+        valid_n = n
+    if n % block_n != 0:
+        pad = block_n - n % block_n
+        codes = jnp.pad(codes, ((0, pad), (0, 0)))
+        row_scales = jnp.pad(row_scales, (0, pad))
+    block_q = min(block_q, max(32, -(-nq // 32) * 32))  # int8 sublane = 32
+    if nq % block_q != 0:
+        queries = jnp.pad(queries, ((0, block_q - nq % block_q), (0, 0)))
+
+    q8, qs = quantize_rows(queries)
+    qp = q8.shape[0]
+    num_n = codes.shape[0] // block_n
+    num_q = qp // block_q
+    bucket = _fit_bucket(bucket, block_n, codes.shape[0], k)
+    nb = block_n // bucket
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_n, num_q),
+        in_specs=[
+            pl.BlockSpec((block_q, h), lambda ni, qi, s: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda ni, qi, s: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, h), lambda ni, qi, s: (ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda ni, qi, s: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, nb), lambda ni, qi, s: (ni, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, nb), lambda ni, qi, s: (ni, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    kernel = functools.partial(
+        _mips_kernel_int8, block_n=block_n, block_q=block_q, bucket=bucket)
+    cand_s, cand_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_n, qp, nb), jnp.float32),
+            jax.ShapeDtypeStruct((num_n, qp, nb), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * codes.shape[0] * h,
+            bytes_accessed=codes.shape[0] * h + qp * h * num_n,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(valid_n, jnp.int32).reshape(1), q8,
+      qs.reshape(-1, 1), codes, row_scales.reshape(1, -1))
+
+    flat_s = jnp.moveaxis(cand_s, 0, 1).reshape(qp, -1)
+    flat_i = jnp.moveaxis(cand_i, 0, 1).reshape(qp, -1)
+    flat_s, flat_i = _pad_candidates(flat_s, flat_i, k)
+    top_s, sel = jax.lax.top_k(flat_s, k)
+    top_i = jnp.take_along_axis(flat_i, sel, axis=1)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i + id_offset, -1)
+    return top_s[:nq], top_i[:nq].astype(jnp.int32)
+
+
 def fused_mips_topk(
     queries: jax.Array,
     corpus: jax.Array,
@@ -161,15 +324,19 @@ def fused_mips_topk(
     rows). ``valid_n`` and ``id_offset`` may be traced (shard_map rank
     values); ``k``/``block_n``/``block_q``/``bucket`` must be static.
 
-    Requirements: H % 128 == 0; corpus/queries are padded here to block
-    multiples (mask rows via ``valid_n``). ``bucket`` is the candidate
-    reduction ratio; recall@k ≈ 1 - k(k-1)/2 / (N/bucket).
+    Corpus/queries are padded here to block multiples (mask rows via
+    ``valid_n``); H is zero-padded to a lane multiple (zero columns leave
+    inner products unchanged). ``bucket`` is the candidate reduction
+    ratio; recall@k ≈ 1 - k(k-1)/2 / (N/bucket).
     """
     if interpret is None:
         interpret = _use_interpret()
     n, h = corpus.shape
     if h % 128 != 0:
-        raise ValueError(f"hidden dim {h} must be a multiple of 128")
+        hp = 128 - h % 128
+        corpus = jnp.pad(corpus, ((0, 0), (0, hp)))
+        queries = jnp.pad(queries, ((0, 0), (0, hp)))
+        h += hp
     nq = queries.shape[0]
     if valid_n is None:
         valid_n = n
@@ -180,6 +347,7 @@ def fused_mips_topk(
     if nq % block_q != 0:
         queries = jnp.pad(queries, ((0, block_q - nq % block_q), (0, 0)))
 
+    bucket = _fit_bucket(bucket, block_n, corpus.shape[0], k)
     cand_s, cand_i = _candidates(
         queries, corpus, valid_n,
         block_n=block_n, block_q=block_q, bucket=bucket, interpret=interpret)
@@ -188,6 +356,7 @@ def fused_mips_topk(
     qp = queries.shape[0]
     flat_s = jnp.moveaxis(cand_s, 0, 1).reshape(qp, -1)
     flat_i = jnp.moveaxis(cand_i, 0, 1).reshape(qp, -1)
+    flat_s, flat_i = _pad_candidates(flat_s, flat_i, k)
     top_s, sel = jax.lax.top_k(flat_s, k)
     top_i = jnp.take_along_axis(flat_i, sel, axis=1)
     top_i = jnp.where(top_s > NEG_INF / 2, top_i + id_offset, -1)

@@ -60,6 +60,7 @@ def blocked_mips_topk(
     axis_name: str | None = None,
     mode: str = "exact",
     recall_target: float = 0.95,
+    row_scales: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming top-k over corpus blocks; O(Q*(k+block)) live memory.
 
@@ -81,8 +82,21 @@ def blocked_mips_topk(
     Under ``shard_map`` pass ``axis_name`` so the scan carry is marked
     device-varying (JAX's vma check rejects a replicated carry fed by
     varying block scores).
+
+    ``row_scales`` marks the corpus as int8-quantized (per-row symmetric,
+    the FAISS-SQ8 analog; see ``ops.mips_kernel.quantize_rows``): scores
+    are computed on the dequantized values — the scale is applied to the
+    score matrix, which is cheaper than scaling the block and
+    mathematically identical.
     """
     if mode == "fused":
+        if row_scales is not None:
+            from simxns_tpu.ops.mips_kernel import fused_mips_topk_int8
+
+            return fused_mips_topk_int8(
+                queries, corpus, row_scales, k,
+                block_n=min(block_size, 2048),
+                id_offset=id_offset, valid_n=valid_n)
         from simxns_tpu.ops.mips_kernel import fused_mips_topk
 
         return fused_mips_topk(
@@ -94,6 +108,8 @@ def blocked_mips_topk(
     if n % block_size != 0:
         pad = block_size - n % block_size
         corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+        if row_scales is not None:
+            row_scales = jnp.pad(row_scales, (0, pad))
         if valid_n is None:
             valid_n = n
         n = corpus.shape[0]
@@ -101,6 +117,16 @@ def blocked_mips_topk(
         valid_n = n
     num_blocks = n // block_size
     blocks = corpus.reshape(num_blocks, block_size, h)
+    # uniform scan xs: a [num_blocks, 1] ones vector when unquantized (the
+    # broadcast multiply is free next to the matmul)
+    sblocks = (jnp.ones((num_blocks, 1), jnp.float32) if row_scales is None
+               else row_scales.reshape(num_blocks, block_size).astype(
+                   jnp.float32))
+
+    def block_scores(block, sblock):
+        s = jnp.einsum("qh,nh->qn", queries, block.astype(queries.dtype),
+                       preferred_element_type=jnp.float32)
+        return s * sblock[None, :]
 
     if mode == "approx":
         # Per-block hardware-friendly selection (XLA PartialReduce via
@@ -109,16 +135,16 @@ def blocked_mips_topk(
         # per-step sort over (k + block_size) columns of the exact path;
         # whole-corpus recall@k >= recall_target per block by construction.
         def step(_, inp):
-            block, b_idx = inp
-            s = jnp.einsum("qh,nh->qn", queries, block,
-                           preferred_element_type=jnp.float32)
+            block, sblock, b_idx = inp
+            s = block_scores(block, sblock)
             col = jax.lax.broadcasted_iota(jnp.int32, (q, block_size), 1)
             s = jnp.where(b_idx * block_size + col < valid_n, s, NEG_INF)
             bs, bi = jax.lax.approx_max_k(s, k, recall_target=recall_target)
             return None, (bs, (bi + b_idx * block_size).astype(jnp.int32))
 
         _, (all_s, all_i) = jax.lax.scan(
-            step, None, (blocks, jnp.arange(num_blocks, dtype=jnp.int32)))
+            step, None,
+            (blocks, sblocks, jnp.arange(num_blocks, dtype=jnp.int32)))
         all_s = jnp.moveaxis(all_s, 0, 1).reshape(q, -1)
         all_i = jnp.moveaxis(all_i, 0, 1).reshape(q, -1)
         scores, sel = jax.lax.top_k(all_s, k)
@@ -133,8 +159,8 @@ def blocked_mips_topk(
 
     def step(carry, inp):
         best_s, best_i = carry
-        block, b_idx = inp
-        s = jnp.einsum("qh,nh->qn", queries, block, preferred_element_type=jnp.float32)
+        block, sblock, b_idx = inp
+        s = block_scores(block, sblock)
         local_ids = b_idx * block_size + jax.lax.broadcasted_iota(
             jnp.int32, (q, block_size), 1
         )
@@ -148,7 +174,7 @@ def blocked_mips_topk(
     (scores, ids), _ = jax.lax.scan(
         step,
         (init_scores, init_ids),
-        (blocks, jnp.arange(num_blocks, dtype=jnp.int32)),
+        (blocks, sblocks, jnp.arange(num_blocks, dtype=jnp.int32)),
     )
     return scores, jnp.where(ids >= 0, ids + id_offset, ids)
 

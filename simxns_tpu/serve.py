@@ -37,7 +37,8 @@ class DenseRetriever:
     def __init__(self, model, params, tokenizer, mesh=None,
                  max_q_length: int = 32, max_ctx_length: int = 128,
                  index_mode: str = "approx", block_size: int = 8192,
-                 encode_chunk: int = 1024, query_batch: int = 8):
+                 encode_chunk: int = 1024, query_batch: int = 8,
+                 store_dtype=None):
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
@@ -45,8 +46,9 @@ class DenseRetriever:
         self.max_q_length = max_q_length
         self.max_ctx_length = max_ctx_length
         self.query_batch = query_batch
+        index_kw = {} if store_dtype is None else {"store_dtype": store_dtype}
         self.index = MIPSIndex(self.mesh, block_size=block_size,
-                               mode=index_mode)
+                               mode=index_mode, **index_kw)
         n_chips = int(np.prod(list(self.mesh.shape.values())))
         self._p_encoder = CorpusEncoder(
             lambda p, i, m: model.apply(p, i, m, method="encode_passage"),
@@ -105,13 +107,15 @@ class DenseRetriever:
         if key in self._fused:
             return self._fused[key]
         import jax
+        import jax.numpy as jnp
 
         model, index = self.model, self.index
 
-        def fn(params, q_ids, q_mask, emb):
+        def fn(params, q_ids, q_mask, emb, scales):
             q_emb = model.apply(params, q_ids, q_mask, method="encode_query")
+            q_dtype = jnp.bfloat16 if index.quantized else emb.dtype
             search = index._make_search_fn(k)
-            return search(q_emb.astype(emb.dtype), emb)
+            return search(q_emb.astype(q_dtype), emb, scales)
 
         self._fused[key] = jax.jit(fn)
         return self._fused[key]
@@ -126,7 +130,8 @@ class DenseRetriever:
                          constant_values=self.tokenizer.pad_token_id)
             mask = np.pad(mask, ((0, pad), (0, 0)))
         fn = self._fused_search(k)
-        scores, pids = fn(self.params, ids, mask, self.index.embeddings)
+        scores, pids = fn(self.params, ids, mask, self.index.embeddings,
+                          self.index._scales_arg())
         scores = np.asarray(scores[:nq], np.float32)
         ids = np.asarray(pids[:nq])
         out: List[List[SearchHit]] = []

@@ -128,3 +128,94 @@ def test_engine_fused_mode_sharded():
     # 256 buckets total at bucket=128; expected loss C(10,2)/256 ~= 0.18.
     assert recall >= 0.93
     assert (ids >= 0).all() and (ids < n).all()
+
+
+def test_quantize_rows_roundtrip():
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((32, 128), dtype=np.float32))
+    codes, scales = mk.quantize_rows(x)
+    assert codes.dtype == jnp.int8
+    recon = np.asarray(codes, np.float32) * np.asarray(scales)[:, None]
+    np.testing.assert_allclose(recon, np.asarray(x),
+                               atol=float(np.asarray(scales).max()) * 0.51)
+
+
+def test_fused_int8_recall_vs_f32_exact():
+    rng = np.random.default_rng(12)
+    q = rng.standard_normal((16, 128), dtype=np.float32)
+    c = rng.standard_normal((4096, 128), dtype=np.float32)
+    codes, scales = mk.quantize_rows(jnp.asarray(c))
+    s, i = mk.fused_mips_topk_int8(jnp.asarray(q), codes, scales, 10,
+                                   block_n=512, block_q=16, bucket=16)
+    es, ei = exact_topk(jnp.asarray(q), jnp.asarray(c), 10)
+    recall = np.mean([
+        len(set(np.asarray(i)[r]) & set(np.asarray(ei)[r])) / 10
+        for r in range(16)])
+    # bucket loss ~0.18/query at 256 buckets + SQ8 noise
+    assert recall >= 0.9, recall
+    # scores must be the dequantized inner products (close to f32 truth)
+    np.testing.assert_allclose(np.asarray(s)[:, 0], np.asarray(es)[:, 0],
+                               rtol=0.05)
+
+
+def test_engine_int8_sharded_modes():
+    """MIPSIndex(store_dtype=int8) on the CPU mesh: approx + fused modes."""
+    from simxns_tpu.index import MIPSIndex
+    from simxns_tpu.parallel import create_mesh
+
+    mesh = create_mesh()
+    rng = np.random.default_rng(13)
+    n, h, k = 8 * 4096, 128, 10
+    corpus = rng.standard_normal((n, h), dtype=np.float32)
+    queries = rng.standard_normal((24, h), dtype=np.float32)
+    oracle = np.argsort(-(queries @ corpus.T), axis=1)[:, :k]
+    for mode in ("approx", "fused"):
+        index = MIPSIndex(mesh, block_size=1024, store_dtype=jnp.int8,
+                          mode=mode)
+        index.build(corpus)
+        scores, ids = index.search(queries, k)
+        recall = np.mean([len(set(ids[i]) & set(oracle[i])) / k
+                          for i in range(len(queries))])
+        assert recall >= 0.9, (mode, recall)
+        assert (ids >= 0).all() and (ids < n).all()
+
+
+def test_engine_int8_update_rows():
+    from simxns_tpu.index import MIPSIndex
+    from simxns_tpu.parallel import create_mesh
+
+    mesh = create_mesh()
+    rng = np.random.default_rng(14)
+    corpus = rng.standard_normal((64, 128), dtype=np.float32)
+    index = MIPSIndex(mesh, block_size=8, store_dtype=jnp.int8,
+                      mode="exact")
+    index.build(corpus)
+    new = rng.standard_normal((8, 128), dtype=np.float32)
+    index.update_rows(16, new)
+    corpus[16:24] = new
+    _, ids = index.search(corpus[16:24], 1)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(16, 24))
+
+
+def test_tiny_shapes_pad_h_and_candidates():
+    """H not a lane multiple + corpus so small that candidates < k: both
+    wrappers must zero-pad H (inner products unchanged) and backfill the
+    candidate set with -1 ids instead of raising."""
+    rng = np.random.default_rng(15)
+    q = jnp.asarray(rng.standard_normal((5, 64), dtype=np.float32))
+    c = jnp.asarray(rng.standard_normal((48, 64), dtype=np.float32))
+    es, ei = exact_topk(q, c, 10)
+
+    s, i = mk.fused_mips_topk(q, c, 10, block_n=16, bucket=128)
+    assert np.asarray(i).shape == (5, 10)
+    # the global max always survives bucket reduction; scores match exactly
+    np.testing.assert_array_equal(np.asarray(i)[:, 0], np.asarray(ei)[:, 0])
+    np.testing.assert_allclose(np.asarray(s)[:, 0], np.asarray(es)[:, 0],
+                               rtol=1e-5)
+
+    codes, scales = mk.quantize_rows(c)
+    s8, i8 = mk.fused_mips_topk_int8(q, codes, scales, 10, block_n=16,
+                                     block_q=8, bucket=128)
+    assert np.asarray(i8).shape == (5, 10)
+    np.testing.assert_allclose(np.asarray(s8)[:, 0], np.asarray(es)[:, 0],
+                               rtol=0.05)
