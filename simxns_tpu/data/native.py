@@ -30,7 +30,8 @@ def _build() -> Optional[str]:
         return _LIB_PATH
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread",
+             "-o", _LIB_PATH, _SRC],
             check=True, capture_output=True)
         return _LIB_PATH
     except Exception:
@@ -62,8 +63,21 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mask_tokens.argtypes = [
             i32p, i8p, ctypes.c_int, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_uint64, i64p]
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.whole_word_mask_batch.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_int, i32p, u8p, u8p,
+            ctypes.c_double, u64p, i8p, ctypes.c_int]
+        lib.keyword_mask_batch.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_int, i32p, u8p, u8p, f64p,
+            ctypes.c_double, u64p, i8p, ctypes.c_int]
+        lib.dual_mask_batch.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_int, i32p, u8p, u8p, u64p,
+            i8p, i8p, ctypes.c_int]
+        lib.mask_tokens_batch.argtypes = [
+            i32p, i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
+            ctypes.c_int32, u64p, i64p, ctypes.c_int]
         lib.fast_collator_abi_version.restype = ctypes.c_int
-        assert lib.fast_collator_abi_version() == 1
+        assert lib.fast_collator_abi_version() == 2
         _lib = lib
         return _lib
 
@@ -113,6 +127,79 @@ def dual_mask(ids: np.ndarray, special: np.ndarray, contin: np.ndarray,
                   _ptr(contin, ctypes.c_uint8), seed,
                   _ptr(mask, ctypes.c_int8), _ptr(dual, ctypes.c_int8))
     return mask, dual
+
+
+N_THREADS = max(1, os.cpu_count() or 1)
+
+
+def _prep_batch(ids: np.ndarray, lens: np.ndarray):
+    ids = np.ascontiguousarray(ids, np.int32)
+    lens = np.ascontiguousarray(lens, np.int32)
+    b, stride = ids.shape
+    return ids, lens, b, stride
+
+
+def whole_word_mask_batch(ids: np.ndarray, lens: np.ndarray,
+                          special: np.ndarray, contin: np.ndarray,
+                          probability: float, seeds: np.ndarray,
+                          n_threads: int = 0) -> np.ndarray:
+    """Row-batched whole-word masks: ids [B, stride] padded, lens [B]."""
+    lib = _load()
+    ids, lens, b, stride = _prep_batch(ids, lens)
+    mask = np.zeros((b, stride), np.int8)
+    lib.whole_word_mask_batch(
+        _ptr(ids, ctypes.c_int32), b, stride, _ptr(lens, ctypes.c_int32),
+        _ptr(special, ctypes.c_uint8), _ptr(contin, ctypes.c_uint8),
+        probability, _ptr(seeds, ctypes.c_uint64),
+        _ptr(mask, ctypes.c_int8), n_threads or N_THREADS)
+    return mask
+
+
+def keyword_mask_batch(ids: np.ndarray, lens: np.ndarray,
+                       special: np.ndarray, contin: np.ndarray,
+                       token_weight: np.ndarray, probability: float,
+                       seeds: np.ndarray, n_threads: int = 0) -> np.ndarray:
+    lib = _load()
+    ids, lens, b, stride = _prep_batch(ids, lens)
+    mask = np.zeros((b, stride), np.int8)
+    lib.keyword_mask_batch(
+        _ptr(ids, ctypes.c_int32), b, stride, _ptr(lens, ctypes.c_int32),
+        _ptr(special, ctypes.c_uint8), _ptr(contin, ctypes.c_uint8),
+        _ptr(token_weight, ctypes.c_double), probability,
+        _ptr(seeds, ctypes.c_uint64), _ptr(mask, ctypes.c_int8),
+        n_threads or N_THREADS)
+    return mask
+
+
+def dual_mask_batch(ids: np.ndarray, lens: np.ndarray, special: np.ndarray,
+                    contin: np.ndarray, seeds: np.ndarray,
+                    n_threads: int = 0):
+    lib = _load()
+    ids, lens, b, stride = _prep_batch(ids, lens)
+    mask = np.zeros((b, stride), np.int8)
+    dual = np.zeros((b, stride), np.int8)
+    lib.dual_mask_batch(
+        _ptr(ids, ctypes.c_int32), b, stride, _ptr(lens, ctypes.c_int32),
+        _ptr(special, ctypes.c_uint8), _ptr(contin, ctypes.c_uint8),
+        _ptr(seeds, ctypes.c_uint64), _ptr(mask, ctypes.c_int8),
+        _ptr(dual, ctypes.c_int8), n_threads or N_THREADS)
+    return mask, dual
+
+
+def mask_tokens_batch(inputs: np.ndarray, mask: np.ndarray, mask_id: int,
+                      vocab_size: int, seeds: np.ndarray,
+                      n_threads: int = 0):
+    """Row-batched corruption with per-row seeds (inputs [B, L])."""
+    lib = _load()
+    out = np.ascontiguousarray(inputs, np.int32).copy()
+    b, stride = out.shape
+    labels = np.zeros((b, stride), np.int64)
+    m = np.ascontiguousarray(mask, np.int8)
+    lib.mask_tokens_batch(
+        _ptr(out, ctypes.c_int32), _ptr(m, ctypes.c_int8), b, stride,
+        mask_id, vocab_size, _ptr(seeds, ctypes.c_uint64),
+        _ptr(labels, ctypes.c_int64), n_threads or N_THREADS)
+    return out, labels
 
 
 def mask_tokens(inputs: np.ndarray, mask: np.ndarray, mask_id: int,
