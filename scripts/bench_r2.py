@@ -218,12 +218,13 @@ def stage_encode():
 
     res = {}
     params = None
-    for ffn in ("xla", "fused", "int8"):
+    for ffn, proj in (("xla", "xla"), ("fused", "xla"), ("int8", "xla"),
+                      ("int8", "int8")):
         for attn in ("xla",):
             cfg = BiEncoderConfig(bert=BertConfig(
                 num_layers=12, hidden_size=768, num_heads=12,
                 intermediate_size=3072, dtype=jnp.bfloat16,
-                ffn_impl=ffn, attention_impl="flash"))
+                ffn_impl=ffn, proj_impl=proj, attention_impl="flash"))
             fa.SMALL_S_IMPL = attn if attn == "group" else "xla"
             model = BiEncoder(cfg)
             if params is None:
@@ -231,7 +232,8 @@ def stage_encode():
                                     mask[:2, :32], ids[:2], mask[:2])
             enc = jax.jit(lambda p, i, m, _model=model: jnp.sum(_model.apply(
                 p, i, m, method="encode_passage").astype(jnp.float32)))
-            tag = f"ffn-{ffn}_attn-{attn}"
+            tag = f"ffn-{ffn}_attn-{attn}" + (
+                "_proj-int8" if proj == "int8" else "")
             try:
                 enc(params, ids, mask)
                 t = timed_call(enc, params, ids, mask)

@@ -52,6 +52,9 @@ class BertConfig:
     attention_impl: str = "flash"      # "flash" auto-picks pallas/xla by seq len
     ffn_impl: str = "xla"              # "fused" = weight-stationary Pallas FFN;
                                        # "int8" = quantized encode-only variant
+    proj_impl: str = "xla"             # "int8" = q/k/v/output projections on
+                                       # the int8 MXU (encode-only, like
+                                       # ffn_impl="int8"; zero-grad round())
     remat: bool = False                # gradient checkpointing per layer
 
     @staticmethod
@@ -136,15 +139,31 @@ class BertSelfAttention(nn.Module):
         def split(x):
             return x.reshape(b, s, cfg.num_heads, d).transpose(0, 2, 1, 3)
 
-        q = split(_dense(cfg, h, "query")(hidden))
-        k = split(_dense(cfg, h, "key")(hidden))
-        v = split(_dense(cfg, h, "value")(hidden))
+        if cfg.proj_impl == "int8":
+            # encode-only int8-MXU projections; _KernelBias declares the
+            # same query/key/value/output {kernel, bias} param paths
+            # nn.Dense would, so checkpoints interchange across proj_impl.
+            from simxns_tpu.ops.fused_ffn import int8_dense
+
+            x8 = hidden.astype(cfg.dtype)
+            proj = {name: _KernelBias(cfg, h, h, name=name)()
+                    for name in ("query", "key", "value", "output")}
+            q = split(int8_dense(x8, *proj["query"]))
+            k = split(int8_dense(x8, *proj["key"]))
+            v = split(int8_dense(x8, *proj["value"]))
+        else:
+            q = split(_dense(cfg, h, "query")(hidden))
+            k = split(_dense(cfg, h, "key")(hidden))
+            v = split(_dense(cfg, h, "value")(hidden))
         ctx, probs = multi_head_attention(
             q, k, v, attention_mask,
             impl=cfg.attention_impl, return_probs=output_attention,
         )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
-        out = _dense(cfg, h, "output")(ctx)
+        if cfg.proj_impl == "int8":
+            out = int8_dense(ctx, *proj["output"])
+        else:
+            out = _dense(cfg, h, "output")(ctx)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
                            param_dtype=cfg.param_dtype, name="output_layer_norm")(

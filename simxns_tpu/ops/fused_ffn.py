@@ -214,6 +214,60 @@ def int8_ffn(x: jax.Array, w1: jax.Array, b1: jax.Array,
     return y.reshape(*lead, h)
 
 
+def _dense_int8_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
+    xq, xs = _quant_rows(x_ref[...])                  # [TM, I] i8, [TM, 1]
+    acc = jnp.dot(xq, w_ref[...], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * xs * s_ref[...] + b_ref[...].astype(
+        jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def int8_dense(x: jax.Array, w: jax.Array, b: jax.Array, *,
+               tile_m: int = 512) -> jax.Array:
+    """Int8-MXU dense ``x @ w + b`` over [..., I] (forward/encode only).
+
+    The attention-projection analog of :func:`int8_ffn` (per-token
+    activation + per-output-channel weight symmetric quant, int8 MXU
+    matmul, f32 dequant + bias). Used by ``BertConfig.proj_impl="int8"``
+    for the q/k/v/output projections on the encode path; ``round()`` has
+    zero gradient, so never for training. Falls back to the bf16 XLA
+    expression when shapes don't tile.
+    """
+    i = x.shape[-1]
+    o = w.shape[1]
+    lead = x.shape[:-1]
+    m = 1
+    for dim in lead:
+        m *= dim
+    tile = min(tile_m, max(32, -(-m // 32) * 32))  # int8 sublane tile is 32
+    if i % 128 or o % 128 or m % tile:
+        dt = x.dtype
+        y = jnp.dot(x, w.astype(dt), preferred_element_type=jnp.float32)
+        return y.astype(dt) + b.astype(dt)
+    wq, s = quantize_weight(w)
+    interpret = INTERPRET or jax.devices()[0].platform != "tpu"
+    y = pl.pallas_call(
+        _dense_int8_kernel,
+        grid=(m // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, i), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((i, o), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, o), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, o), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * i * o,
+            bytes_accessed=m * i * 2 + i * o + m * o * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(x.reshape(m, i), wq, s, b.reshape(1, -1))
+    return y.reshape(*lead, o)
+
+
 def fused_ffn(x: jax.Array, w1: jax.Array, b1: jax.Array,
               w2: jax.Array, b2: jax.Array) -> jax.Array:
     """Fused BERT FFN over [..., H] activations.

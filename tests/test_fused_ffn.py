@@ -131,3 +131,41 @@ def test_int8_model_embeddings_near_f32():
     cos = np.sum(a * b, 1) / (np.linalg.norm(a, axis=1)
                               * np.linalg.norm(b, axis=1))
     assert cos.min() > 0.995, cos
+
+
+def test_int8_dense_close_to_reference():
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((64, 128), dtype=np.float32))
+    w = jnp.asarray(rng.normal(0, 0.02, (128, 128)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.02, (128,)), jnp.float32)
+    y = ff.int8_dense(x, w, b)
+    ref = jnp.dot(x, w) + b
+    err = np.abs(np.asarray(y) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert err.max() / scale < 0.02, err.max() / scale
+    # unaligned output dim falls back to the XLA expression exactly
+    y2 = ff.int8_dense(x, w[:, :100], b[:100])
+    np.testing.assert_allclose(np.asarray(y2),
+                               np.asarray(jnp.dot(x, w[:, :100]) + b[:100]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_int8_proj_model_embeddings_near_f32():
+    """proj_impl='int8' (q/k/v/output on the int8 MXU) shares param paths
+    with nn.Dense and keeps CLS ~parallel to the f32 path."""
+    from simxns_tpu.models import BertConfig
+    from simxns_tpu.models.bert import BertEncoder
+
+    cfg = BertConfig.tiny(hidden_size=128, intermediate_size=256, num_heads=4)
+    rng = np.random.default_rng(12)
+    ids = jnp.asarray(rng.integers(0, 1000, (4, 32)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    m_f32 = BertEncoder(cfg)
+    m_q = BertEncoder(cfg.replace(ffn_impl="int8", proj_impl="int8"))
+    params = m_f32.init(jax.random.PRNGKey(1), ids, mask)
+    # same param tree: proj_impl declares identical query/key/value/output
+    a = np.asarray(m_f32.apply(params, ids, mask).pooled, np.float32)
+    b = np.asarray(m_q.apply(params, ids, mask).pooled, np.float32)
+    cos = np.sum(a * b, 1) / (np.linalg.norm(a, axis=1)
+                              * np.linalg.norm(b, axis=1))
+    assert cos.min() > 0.99, cos
