@@ -1,7 +1,11 @@
 from simxns_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
+    REPLICA_AXIS,
     create_mesh,
+    create_multislice_mesh,
+    dp_axes,
+    dp_size,
     batch_sharding,
     replicated_sharding,
     shard_batch,
@@ -17,7 +21,11 @@ from simxns_tpu.parallel.collectives import (
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "REPLICA_AXIS",
     "create_mesh",
+    "create_multislice_mesh",
+    "dp_axes",
+    "dp_size",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",

@@ -31,7 +31,7 @@ from simxns_tpu.losses.contrastive import in_batch_nll
 from simxns_tpu.losses.distill import (
     bi_logit_loss, colbert_teacher_scores, dkd_loss, kd_logit_mse_loss,
     kd_softmax_loss, prob_loss)
-from simxns_tpu.parallel.mesh import DATA_AXIS
+from simxns_tpu.parallel.mesh import DATA_AXIS, dp_axes
 
 
 def soft_kd_loss(kd_type: str, student_scores, teacher_scores, target_idx,
@@ -86,7 +86,7 @@ def make_ce_kd_step(
             "hard_loss": hard, "soft_loss": soft, "correct": correct}
 
     repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(DATA_AXIS))
+    shard = NamedSharding(mesh, P(dp_axes(mesh)))
 
     def step(state, teacher_params, batch):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -220,7 +220,7 @@ def make_kd_step(
         return loss, {"hard_loss": hard, "soft_loss": soft, "correct": correct}
 
     repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(DATA_AXIS))
+    shard = NamedSharding(mesh, P(dp_axes(mesh)))
 
     def step(state, teacher_params, batch):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

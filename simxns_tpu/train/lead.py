@@ -32,7 +32,7 @@ from simxns_tpu.losses.lead import (
     attention_map_kl, grouped_slice, layer_score_distill_loss,
     layer_scores_from_cls, pair_kl, query_doc_attention_maps, virt_loss)
 from simxns_tpu.models.colbert import maxsim_score
-from simxns_tpu.parallel.mesh import DATA_AXIS
+from simxns_tpu.parallel.mesh import DATA_AXIS, dp_axes
 
 
 def ce_attention_targets(ce_attn_sel: jax.Array,   # [Lsel, B*M, H, Lj, Lj]
@@ -244,7 +244,7 @@ def make_lead_step(
         return loss, metrics
 
     repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(DATA_AXIS))
+    shard = NamedSharding(mesh, P(dp_axes(mesh)))
 
     def step(states, batch, sel_s, sel_t):
         train_params = {k: states[k].params for k in trained}

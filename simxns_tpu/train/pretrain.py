@@ -13,7 +13,7 @@ import jax
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from simxns_tpu.parallel.mesh import DATA_AXIS
+from simxns_tpu.parallel.mesh import DATA_AXIS, dp_axes
 
 
 def make_condenser_step(model, tx: optax.GradientTransformation, mesh,
@@ -31,7 +31,7 @@ def make_condenser_step(model, tx: optax.GradientTransformation, mesh,
         return total, parts
 
     repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(DATA_AXIS))
+    shard = NamedSharding(mesh, P(dp_axes(mesh)))
 
     def step(state, batch):
         if dropout:
@@ -67,7 +67,7 @@ def make_electra_step(model, tx: optax.GradientTransformation, mesh,
         return total, parts
 
     repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(DATA_AXIS))
+    shard = NamedSharding(mesh, P(dp_axes(mesh)))
 
     def step(state, batch):
         replaced_decoder, replaced_input = generate_replaced_ids(

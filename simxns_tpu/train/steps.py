@@ -31,8 +31,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from simxns_tpu.losses.contrastive import grouped_nll, in_batch_nll
 from simxns_tpu.losses.distill import ar2_retriever_loss
 from simxns_tpu.parallel.collectives import (
-    all_gather_local_grad, gather_positive_offsets)
-from simxns_tpu.parallel.mesh import DATA_AXIS
+    all_gather_full_grad, all_gather_local_grad, gather_positive_offsets)
+from simxns_tpu.parallel.mesh import (DATA_AXIS, REPLICA_AXIS, dp_axes,
+                                      dp_size)
 
 Batch = dict
 
@@ -114,7 +115,7 @@ def _jit_step(fn, mesh, state_like=None, auto_state: bool = False):
     through the step instead of being forced to replicated.
     """
     repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(DATA_AXIS))
+    shard = NamedSharding(mesh, P(dp_axes(mesh)))
     if auto_state:
         return jax.jit(fn, in_shardings=(None, shard), donate_argnums=(0,))
     return jax.jit(fn, in_shardings=(repl, shard), out_shardings=(repl, repl),
@@ -130,6 +131,7 @@ def make_biencoder_step(
     auto_state: bool = False,
     dropout: bool = False,
     dropout_seed: int = 0,
+    negatives_scope: str = "global",
 ) -> Callable:
     """In-batch contrastive step. Batch keys: q_ids/q_mask [N,Lq],
     ctx_ids/ctx_mask [N*M,Lc], positive_idx [N] (global flat index).
@@ -137,9 +139,20 @@ def make_biencoder_step(
     ``dropout=True`` enables train-mode dropout (the reference trains with
     p=0.1); the rng is folded from ``state.step`` so runs are reproducible
     and every step uses fresh masks.
+
+    On a multi-slice mesh (``create_multislice_mesh``), gradients psum
+    across slices (one DCN round per step) while
+    ``negatives_scope='slice'`` keeps the in-batch-negative all-gather on
+    ICI: each slice's softmax sees only its own slice's contexts (the
+    global ``positive_idx`` is shifted into slice space internally).
+    ``'global'`` gathers across DCN too — identical math to one big slice.
     """
 
-    n_data = mesh.shape[DATA_AXIS]
+    dp = dp_axes(mesh)
+    multislice = isinstance(dp, tuple)
+    if negatives_scope not in ("global", "slice"):
+        raise ValueError(f"bad negatives_scope {negatives_scope!r}")
+    slice_scope = negatives_scope == "slice" and multislice
 
     def _rngs(step):
         if not dropout:
@@ -156,32 +169,44 @@ def make_biencoder_step(
                                      score_scale=score_scale)
         return loss, {"correct": correct}
 
-    def loss_local(params, batch, rngs, det):
-        # Reference gradient contract: softmax over gathered (global)
-        # contexts, grads through local shard only.
+    def loss_sharded(params, batch, rngs, det):
+        # Explicit shard_map path: the reference gradient contract
+        # (grad_mode='local': softmax over gathered contexts, grads
+        # through the local shard only) and/or slice-scoped negatives.
+        gather_axis = DATA_AXIS if slice_scope else dp
+        gather = (all_gather_local_grad if grad_mode == "local"
+                  else all_gather_full_grad)
+
         def shard_fn(q_ids, q_mask, ctx_ids, ctx_mask, pos_idx):
             q_emb, ctx_emb = model.apply(params, q_ids, q_mask,
                                          ctx_ids, ctx_mask, deterministic=det,
                                          rngs=rngs)
-            g_ctx = all_gather_local_grad(ctx_emb, DATA_AXIS)
+            g_ctx = gather(ctx_emb, gather_axis)
             # batch["positive_idx"] is already a *global* flat index and the
             # gathered ctx matrix is in global device-major order, so no
-            # rank offset is needed here.
+            # rank offset is needed — except under slice scope, where the
+            # gathered matrix only spans this slice and the index shifts
+            # down by the slice's start offset (rows are replica-major).
+            if slice_scope:
+                per_slice = ctx_ids.shape[0] * jax.lax.psum(1, DATA_AXIS)
+                pos_idx = pos_idx - jax.lax.axis_index(
+                    REPLICA_AXIS) * per_slice
             loss, correct = in_batch_nll(q_emb, g_ctx, pos_idx,
                                          score_scale=score_scale,
                                          reduction="sum")
-            n_global = q_ids.shape[0] * jax.lax.psum(1, DATA_AXIS)
-            return (jax.lax.psum(loss, DATA_AXIS) / n_global,
-                    jax.lax.psum(correct, DATA_AXIS))
+            n_global = q_ids.shape[0] * jax.lax.psum(1, dp)
+            return (jax.lax.psum(loss, dp) / n_global,
+                    jax.lax.psum(correct, dp))
 
         loss, correct = jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(DATA_AXIS),) * 5, out_specs=(P(), P()),
+            in_specs=(P(dp),) * 5, out_specs=(P(), P()),
         )(batch["q_ids"], batch["q_mask"], batch["ctx_ids"],
           batch["ctx_mask"], batch["positive_idx"])
         return loss, {"correct": correct}
 
-    loss_fn = loss_full if grad_mode == "full" else loss_local
+    loss_fn = (loss_full if grad_mode == "full" and not slice_scope
+               else loss_sharded)
 
     def step(state, batch):
         rngs, det = _rngs(state.step)
@@ -280,7 +305,7 @@ def make_ar2_retriever_step(
     ``step(de_state, ce_params, batch)``; batch needs retriever inputs
     (q/ctx) AND the joint reranker inputs for the frozen teacher forward.
     """
-    n_data = mesh.shape[DATA_AXIS]
+    n_data = dp_size(mesh)
 
     def loss_fn(params, ce_params, batch, rngs, det):
         n, m, lj = batch["joint_ids"].shape
@@ -308,7 +333,7 @@ def make_ar2_retriever_step(
         return loss, aux
 
     repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(DATA_AXIS))
+    shard = NamedSharding(mesh, P(dp_axes(mesh)))
 
     def step(de_state, ce_params, batch):
         if dropout:
