@@ -29,6 +29,8 @@ parser.add_argument("--windows", type=int, default=4)
 parser.add_argument("--window-steps", type=int, default=60)
 parser.add_argument("--mode", default="fused",
                     help="MIPS index mode: fused|approx|exact")
+parser.add_argument("--int8", action="store_true",
+                    help="SQ8-analog int8 index storage (half HBM)")
 args = parser.parse_args()
 
 if args.cpu:
@@ -117,8 +119,9 @@ ce_state = TrainState.create(
             np.ones((2, LJ), np.int32)), tx)
 
 log = MetricLogger()
-index = MIPSIndex(mesh, block_size=2048, mode=args.mode,
-                  store_dtype=jnp.float32 if args.cpu else jnp.bfloat16)
+store = (jnp.int8 if args.int8
+         else jnp.float32 if args.cpu else jnp.bfloat16)
+index = MIPSIndex(mesh, block_size=2048, mode=args.mode, store_dtype=store)
 engine = RetrievalEngine(index, passages, logger=log)
 chunk = 1024 if args.cpu else 4096
 p_enc = CorpusEncoder(
@@ -156,11 +159,17 @@ gold = type("R", (), {
 warm_ds = dataset_from(gold, 0)
 warm = make_biencoder_step(de, tx, mesh, grad_mode="full")
 ce_warm = make_reranker_step(ce, tx, mesh, group_size=1 + NEG)
+# The CE teacher must be genuinely warm before AR2's KL step: distilling
+# an undertrained reranker COLLAPSES the retriever (measured: the 128-query
+# CPU smoke gave the CE only 8 warm steps and recall fell 0.30 -> 0.00
+# within one 20-step KL window, for bf16 and int8 indexes alike). Scale CE
+# warm epochs so small runs still see >= ~48 teacher steps.
+ce_epochs = max(4, -(-48 * 64 // max(Q, 1)))
 with log.timed("warmup"):
     for epoch in range(16):
         for b in warm_ds.batches(batch_size=64, with_joint=False):
             de_state, wm = warm(de_state, shard_batch(b, mesh))
-    for epoch in range(4):
+    for epoch in range(ce_epochs):
         for b in warm_ds.batches(batch_size=64):
             dev = shard_batch({"joint_ids": b["joint_ids"],
                                "joint_mask": b["joint_mask"]}, mesh)
@@ -216,6 +225,7 @@ print(f"final: top1={final.top_k_hits[0]:.3f} "
 
 rec = {"stage": "soak_ar2", "corpus": N, "queries": Q,
        "windows": args.windows, "mode": args.mode,
+       "store": "int8" if args.int8 else "bf16",
        "recall_trajectory": [round(r, 4) for r in recalls],
        "total_s": round(total_s, 1),
        "phase_times_s": {k: round(v, 1) for k, v in phases.items()}}

@@ -209,7 +209,10 @@ class MIPSIndex:
         fn = self._search_cache[key]
         q_dtype = jnp.bfloat16 if self.quantized else self.store_dtype
         scales = self._scales_arg()
-        all_s, all_i = [], []
+        # dispatch every chunk before draining any result, so device
+        # compute for chunk i+1 overlaps the host transfer of chunk i
+        # (a serial dispatch->transfer loop stalls the chip per chunk)
+        pending = []
         for s in range(0, nq, qb):
             chunk = q[s: s + qb]
             valid = chunk.shape[0]
@@ -217,8 +220,9 @@ class MIPSIndex:
                 chunk = np.pad(chunk, ((0, qb - valid), (0, 0)))
             sc, ids = fn(jnp.asarray(chunk, dtype=q_dtype),
                          self.embeddings, scales)
-            all_s.append(np.asarray(sc[:valid], np.float32))
-            all_i.append(np.asarray(ids[:valid]))
+            pending.append((valid, sc, ids))
+        all_s = [np.asarray(sc[:v], np.float32) for v, sc, _ in pending]
+        all_i = [np.asarray(ids[:v]) for v, _, ids in pending]
         return np.concatenate(all_s), np.concatenate(all_i)
 
 

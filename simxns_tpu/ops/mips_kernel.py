@@ -60,13 +60,15 @@ def _use_interpret() -> bool:
 def _fit_bucket(bucket: int, block_n: int, total_n: int, k: int) -> int:
     """Shrink the candidate bucket for small corpora/blocks.
 
-    At scale the defaults hold (128-wide buckets); on tiny shards the
-    reduction must leave >= k survivors and divide ``block_n``.
+    At scale the defaults hold (128-wide buckets); on smaller corpora the
+    reduction must leave a comfortable candidate margin over ``k`` (4x —
+    a bare >=k list keeps mostly bucket maxima and loses most of the true
+    top-k) and divide ``block_n``.
     """
     bucket = min(bucket, block_n)
     while block_n % bucket:
         bucket //= 2
-    while (bucket > 8 and total_n // bucket < k
+    while (bucket > 8 and total_n // bucket < 4 * k
            and block_n % (bucket // 2) == 0):
         bucket //= 2
     return max(bucket, 1)

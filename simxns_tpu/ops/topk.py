@@ -89,6 +89,12 @@ def blocked_mips_topk(
     score matrix, which is cheaper than scaling the block and
     mathematically identical.
     """
+    if mode == "fused" and corpus.shape[0] < 64 * k:
+        # The fused kernel's bucket reduction keeps ~N/bucket candidates;
+        # on a tiny shard that is too lossy for a top-k list (observed:
+        # mining a 2048-row shard at k=100 through 128 candidates poisons
+        # AR2 training data). Exact streaming is cheap at this size.
+        mode = "exact"
     if mode == "fused":
         if row_scales is not None:
             from simxns_tpu.ops.mips_kernel import fused_mips_topk_int8

@@ -48,7 +48,7 @@ def test_matches_bucket_oracle_exactly():
     c = rng.standard_normal((1024, 128), dtype=np.float32)
     s, i = mk.fused_mips_topk(jnp.asarray(q), jnp.asarray(c), 5,
                               block_n=256, block_q=8, bucket=128)
-    os, oi = _oracle(q, c, 5, 128)
+    os, oi = _oracle(q, c, 5, mk._fit_bucket(128, 256, 1024, 5))
     np.testing.assert_allclose(np.asarray(s), os, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i), oi)
 
@@ -60,7 +60,8 @@ def test_valid_n_and_offset_and_padding():
     s, i = mk.fused_mips_topk(jnp.asarray(q), jnp.asarray(c), 4,
                               block_n=256, block_q=8, bucket=64,
                               valid_n=600, id_offset=1000)
-    os, oi = _oracle(q, np.pad(c, ((0, 68), (0, 0))), 4, 64, valid_n=600)
+    os, oi = _oracle(q, np.pad(c, ((0, 68), (0, 0))), 4,
+                     mk._fit_bucket(64, 256, 768, 4), valid_n=600)
     assert s.shape == (5, 4) and i.shape == (5, 4)
     np.testing.assert_allclose(np.asarray(s), os, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i), oi + 1000)
@@ -87,7 +88,7 @@ def test_blocked_mips_topk_fused_mode_dispatch():
     q = jnp.asarray(rng.standard_normal((8, 128), dtype=np.float32))
     c = jnp.asarray(rng.standard_normal((2048, 128), dtype=np.float32))
     s, i = blocked_mips_topk(q, c, 5, block_size=512, mode="fused")
-    os, oi = _oracle(q, c, 5, 128)
+    os, oi = _oracle(q, c, 5, mk._fit_bucket(128, 512, 2048, 5))
     np.testing.assert_allclose(np.asarray(s), os, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i), oi)
 
@@ -103,7 +104,7 @@ def test_fused_under_jit_traced_args():
                                   valid_n=valid_n, id_offset=offset)
 
     s, i = run(q, c, jnp.int32(512), jnp.int32(7))
-    os, oi = _oracle(q, c, 3, 128)
+    os, oi = _oracle(q, c, 3, mk._fit_bucket(128, 256, 512, 3))
     np.testing.assert_allclose(np.asarray(s), os, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i), oi + 7)
 
