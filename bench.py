@@ -58,15 +58,20 @@ def main():
     n_chips = int(np.prod(list(mesh.shape.values())))
 
     # ---- encode rate (the phase's dominant share) -------------------------
-    # int8 FFN is the encode-path default (measured v5e-1: 4543 p/s vs 4077
-    # bf16-fused vs 3766 XLA; CLS-embedding cosine vs f32 > 0.995 —
-    # tests/test_fused_ffn.py). SIMXNS_BENCH_FFN=fused|xla for the
-    # numerics-identical paths.
-    ffn_impl = os.environ.get("SIMXNS_BENCH_FFN", "int8")
+    # The whole-layer fused int8 kernel is the encode-path default
+    # (measured v5e-1: 7046 p/s at 0.80 bf16-equivalent MXU vs 4530
+    # int8-FFN-only vs 3790 XLA; CLS cosine vs f32 > 0.999 —
+    # tests/test_fused_layer.py). SIMXNS_BENCH_ENCODE=int8|fused|xla
+    # selects the older per-op paths.
+    enc_impl = os.environ.get("SIMXNS_BENCH_ENCODE", "fused_layer")
+    if enc_impl == "fused_layer":
+        bert_kw = {"layer_impl": "fused_int8"}
+    else:
+        bert_kw = {"ffn_impl": enc_impl}
     cfg = BiEncoderConfig(
         bert=BertConfig(num_layers=12, hidden_size=768, num_heads=12,
                         intermediate_size=3072, dtype=jnp.bfloat16,
-                        ffn_impl=ffn_impl))
+                        **bert_kw))
     model = BiEncoder(cfg)
 
     seq, chunk = 128, 1024 * n_chips  # 1024/chip measured best in r1
@@ -143,8 +148,8 @@ def main():
         "metric": "mine_phase_passages_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": ("passages/s/chip (8.8M-corpus mine: BERT-base bf16 seq128 "
-                 "%s-FFN encode + top-100 search over %d-row bf16 index)"
-                 % (ffn_impl, n_rows)),
+                 "%s encode + top-100 search over %d-row bf16 index)"
+                 % (enc_impl, n_rows)),
         "vs_baseline": round(per_chip / A100_REF_PASSAGES_PER_SEC_PER_GPU, 2),
         "encode_ps_per_chip": round(encode_ps / n_chips, 1),
         "encode_mfu": round(mfu, 4),

@@ -218,13 +218,16 @@ def stage_encode():
 
     res = {}
     params = None
-    for ffn, proj in (("xla", "xla"), ("fused", "xla"), ("int8", "xla"),
-                      ("int8", "int8")):
+    for ffn, proj, layer in (("xla", "xla", "xla"), ("fused", "xla", "xla"),
+                             ("int8", "xla", "xla"),
+                             ("int8", "int8", "xla"),
+                             ("xla", "xla", "fused_int8")):
         for attn in ("xla",):
             cfg = BiEncoderConfig(bert=BertConfig(
                 num_layers=12, hidden_size=768, num_heads=12,
                 intermediate_size=3072, dtype=jnp.bfloat16,
-                ffn_impl=ffn, proj_impl=proj, attention_impl="flash"))
+                ffn_impl=ffn, proj_impl=proj, layer_impl=layer,
+                attention_impl="flash"))
             fa.SMALL_S_IMPL = attn if attn == "group" else "xla"
             model = BiEncoder(cfg)
             if params is None:
@@ -232,8 +235,9 @@ def stage_encode():
                                     mask[:2, :32], ids[:2], mask[:2])
             enc = jax.jit(lambda p, i, m, _model=model: jnp.sum(_model.apply(
                 p, i, m, method="encode_passage").astype(jnp.float32)))
-            tag = f"ffn-{ffn}_attn-{attn}" + (
-                "_proj-int8" if proj == "int8" else "")
+            tag = ("layer-fused_int8" if layer == "fused_int8"
+                   else f"ffn-{ffn}_attn-{attn}" + (
+                       "_proj-int8" if proj == "int8" else ""))
             try:
                 enc(params, ids, mask)
                 t = timed_call(enc, params, ids, mask)

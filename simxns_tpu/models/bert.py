@@ -55,6 +55,9 @@ class BertConfig:
     proj_impl: str = "xla"             # "int8" = q/k/v/output projections on
                                        # the int8 MXU (encode-only, like
                                        # ffn_impl="int8"; zero-grad round())
+    layer_impl: str = "xla"            # "fused_int8" = whole layer as ONE
+                                       # Pallas program (encode-only; see
+                                       # ops/fused_layer.py)
     remat: bool = False                # gradient checkpointing per layer
 
     @staticmethod
@@ -194,6 +197,37 @@ class _KernelBias(nn.Module):
         return k, b
 
 
+class _LNParams(nn.Module):
+    """Declare LayerNorm-compatible ``{scale, bias}`` without the math
+    (same trick as _KernelBias: the fused layer kernel consumes raw
+    arrays under the param paths nn.LayerNorm would create)."""
+
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self):
+        h = self.cfg.hidden_size
+        return (self.param("scale", nn.initializers.ones, (h,),
+                           self.cfg.param_dtype),
+                self.param("bias", nn.initializers.zeros, (h,),
+                           self.cfg.param_dtype))
+
+
+class _AttnParams(nn.Module):
+    """The param subtree BertSelfAttention would declare, math-free."""
+
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self):
+        h = self.cfg.hidden_size
+        out = {}
+        for name in ("query", "key", "value", "output"):
+            out[name] = _KernelBias(self.cfg, h, h, name=name)()
+        out["ln"] = _LNParams(self.cfg, name="output_layer_norm")()
+        return out
+
+
 class BertLayer(nn.Module):
     """Post-LN transformer block (attention + GELU FFN), HF-BERT layout.
 
@@ -207,6 +241,34 @@ class BertLayer(nn.Module):
     def __call__(self, hidden, attention_mask, *, deterministic: bool = True,
                  output_attention: bool = False):
         cfg = self.cfg
+        if (cfg.layer_impl == "fused_int8" and not output_attention
+                and deterministic):
+            # one Pallas program for the whole layer (encode-only: falls
+            # back to the standard composition under train-mode dropout,
+            # and round() has zero grad so it must never train);
+            # param paths match the standard composition exactly, so
+            # checkpoints interchange across layer_impl.
+            from simxns_tpu.ops.fused_layer import fused_encoder_layer_int8
+
+            att = _AttnParams(cfg, name="attention")()
+            w1, b1 = _KernelBias(cfg, cfg.hidden_size,
+                                 cfg.intermediate_size, name="intermediate")()
+            w2, b2 = _KernelBias(cfg, cfg.intermediate_size,
+                                 cfg.hidden_size, name="output")()
+            g2, be2 = _LNParams(cfg, name="output_layer_norm")()
+            params = {
+                "wq": att["query"][0], "bq": att["query"][1],
+                "wk": att["key"][0], "bk": att["key"][1],
+                "wv": att["value"][0], "bv": att["value"][1],
+                "wo": att["output"][0], "bo": att["output"][1],
+                "ln1_scale": att["ln"][0], "ln1_bias": att["ln"][1],
+                "w1": w1, "b1": b1, "w2": w2, "b2": b2,
+                "ln2_scale": g2, "ln2_bias": be2,
+            }
+            out = fused_encoder_layer_int8(
+                hidden.astype(cfg.dtype), attention_mask, params,
+                num_heads=cfg.num_heads, layer_norm_eps=cfg.layer_norm_eps)
+            return out, None
         attn_out, probs = BertSelfAttention(cfg, name="attention")(
             hidden, attention_mask, deterministic=deterministic,
             output_attention=output_attention)
