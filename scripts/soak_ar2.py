@@ -31,6 +31,9 @@ parser.add_argument("--mode", default="fused",
                     help="MIPS index mode: fused|approx|exact")
 parser.add_argument("--int8", action="store_true",
                     help="SQ8-analog int8 index storage (half HBM)")
+parser.add_argument("--fast-encode", action="store_true",
+                    help="mine through the whole-layer fused int8 encode "
+                         "kernel (shared params; training stays bf16)")
 args = parser.parse_args()
 
 if args.cpu:
@@ -124,10 +127,18 @@ store = (jnp.int8 if args.int8
 index = MIPSIndex(mesh, block_size=2048, mode=args.mode, store_dtype=store)
 engine = RetrievalEngine(index, passages, logger=log)
 chunk = 1024 if args.cpu else 4096
+# --fast-encode: a fused-int8-layer VIEW of the same params for mining
+# (param trees interchange across layer_impl; training stays bf16)
+enc_de = de
+if args.fast_encode:
+    enc_de = BiEncoder(BiEncoderConfig(
+        bert=cfg.replace(layer_impl="fused_int8")))
 p_enc = CorpusEncoder(
-    lambda p, i, m: de.apply(p, i, m, method="encode_passage"), mesh, chunk)
+    lambda p, i, m: enc_de.apply(p, i, m, method="encode_passage"), mesh,
+    chunk)
 q_enc = CorpusEncoder(
-    lambda p, i, m: de.apply(p, i, m, method="encode_query"), mesh, chunk)
+    lambda p, i, m: enc_de.apply(p, i, m, method="encode_query"), mesh,
+    chunk)
 
 K = 100
 
@@ -226,6 +237,7 @@ print(f"final: top1={final.top_k_hits[0]:.3f} "
 rec = {"stage": "soak_ar2", "corpus": N, "queries": Q,
        "windows": args.windows, "mode": args.mode,
        "store": "int8" if args.int8 else "bf16",
+       "encode": "fused_layer" if args.fast_encode else "bf16",
        "recall_trajectory": [round(r, 4) for r in recalls],
        "total_s": round(total_s, 1),
        "phase_times_s": {k: round(v, 1) for k, v in phases.items()}}

@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--num-queries", type=int, default=64,
                     help="synthetic query count")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--int8-index", action="store_true",
+                    help="SQ8-analog int8 index storage (half HBM; "
+                         "16.7M rows/v5e chip)")
+    ap.add_argument("--fast-encode", action="store_true",
+                    help="mine through the whole-layer fused int8 encode "
+                         "kernel (TPU; params shared with the bf16 "
+                         "training model)")
     return ap
 
 
@@ -269,16 +276,28 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
 
     import jax.numpy as jnp
 
+    store = (jnp.int8 if args.int8_index
+             else jnp.bfloat16 if args.tpu else jnp.float32)
     index = MIPSIndex(
         mesh, block_size=min(8192, max(32, len(data.corpus_ids) // 4)),
-        store_dtype=jnp.bfloat16 if args.tpu else jnp.float32)
+        store_dtype=store)
     engine = RetrievalEngine(index, data.passages, logger=logger)
+    # --fast-encode: mine through a fused-int8-layer view of the SAME
+    # params (the param trees interchange across layer_impl); training
+    # stays on the bf16 composition.
+    enc_model = de
+    if args.fast_encode:
+        enc_model = BiEncoder(BiEncoderConfig(
+            bert=de_cfg.replace(layer_impl="fused_int8"),
+            share_weight=cfg.retriever.share_weight,
+            pooling=cfg.retriever.pooling,
+            projection_dim=cfg.retriever.projection_dim))
     p_enc = CorpusEncoder(
-        lambda p, i, m: de.apply(p, i, m, method="encode_passage"), mesh,
-        chunk_size=min(1024, max(64, len(data.corpus_ids) // 4)))
+        lambda p, i, m: enc_model.apply(p, i, m, method="encode_passage"),
+        mesh, chunk_size=min(1024, max(64, len(data.corpus_ids) // 4)))
     q_enc = CorpusEncoder(
-        lambda p, i, m: de.apply(p, i, m, method="encode_query"), mesh,
-        chunk_size=min(1024, max(64, len(data.query_ids))))
+        lambda p, i, m: enc_model.apply(p, i, m, method="encode_query"),
+        mesh, chunk_size=min(1024, max(64, len(data.query_ids))))
 
     def mine(state):
         index.build(p_enc(state.params, data.corpus_ids, data.corpus_mask))
