@@ -627,8 +627,98 @@ def stage_mips_int8(n, tag, reps=8, fidelity=False):
     emit(stage=tag, n=n, k=k, **res)
 
 
+def stage_train():
+    """Train-step throughput at the reference's AR2 working point.
+
+    The reference publishes no train throughput (BASELINE.md) — its only
+    wall-clock hint is the mine phase — so this records OUR envelope:
+    the AR2 retriever step (DE fwd/bwd + frozen CE teacher fwd) at the
+    ``train_NQ_AR2.sh`` shapes (global batch 64, 1+15 ctx/question,
+    q=32/ctx=128/joint=160, BERT-base bf16), plus the big-batch
+    contrastive DE step (the GradCache-capability workload).
+    """
+    from simxns_tpu.models import (BiEncoder, BiEncoderConfig, BertConfig,
+                                   CrossEncoder, CrossEncoderConfig)
+    from simxns_tpu.parallel import create_mesh, shard_batch
+    from simxns_tpu.train import (TrainState, make_adamw,
+                                  make_ar2_retriever_step,
+                                  make_biencoder_step)
+
+    mesh = create_mesh()
+    # remat=True (the GradCache analog): fwd+bwd at these batch shapes
+    # holds ~13.5G of activation temps without it and OOMs one v5e-16G
+    # (measured: bare B=512 fwd+bwd fits at 501 ms/step, +adam temps do
+    # not). The reference needed GradCache for exactly this reason.
+    bert = BertConfig(num_layers=12, hidden_size=768, num_heads=12,
+                      intermediate_size=3072, dtype=jnp.bfloat16,
+                      remat=True)
+    de = BiEncoder(BiEncoderConfig(bert=bert))
+    ce = CrossEncoder(CrossEncoderConfig(bert=bert))
+    rng = np.random.default_rng(0)
+    tx = make_adamw(1e-5, total_steps=0)
+    dummy = np.ones((2, 16), np.int32)
+    de_params = de.init(jax.random.PRNGKey(0), dummy, dummy, dummy, dummy)
+    ce_params = ce.init(jax.random.PRNGKey(1), dummy, dummy)
+    res = {}
+
+    def time_steps(step, state, *rest, k=6):
+        out = step(state, *rest)                     # compile + 1st step
+        state = out[0]
+        t0 = time.time()
+        for _ in range(k):
+            state, metrics = step(state, *rest)
+        np.asarray(metrics["loss"])
+        return (time.time() - t0) / k
+
+    # --- AR2 retriever step, reference shapes -----------------------------
+    n, m, lq, lc, lj = 64, 16, 32, 128, 160
+    batch = {
+        "q_ids": rng.integers(5, 30000, (n, lq)).astype(np.int32),
+        "q_mask": np.ones((n, lq), np.int32),
+        "ctx_ids": rng.integers(5, 30000, (n * m, lc)).astype(np.int32),
+        "ctx_mask": np.ones((n * m, lc), np.int32),
+        "joint_ids": rng.integers(5, 30000, (n, m, lj)).astype(np.int32),
+        "joint_mask": np.ones((n, m, lj), np.int32),
+        "positive_idx": (np.arange(n) * m).astype(np.int32),
+    }
+    try:
+        state = TrainState.create(jax.tree.map(jnp.asarray, de_params), tx)
+        step = make_ar2_retriever_step(de, ce, tx, mesh, adv_lambda=0.5)
+        dt = time_steps(step, state, ce_params, shard_batch(batch, mesh))
+        flops = (3 * (_encode_flops(n, lq) + _encode_flops(n * m, lc))
+                 + _encode_flops(n * m, lj))
+        res["ar2_step_ms"] = dt * 1e3
+        res["ar2_steps_per_s"] = 1.0 / dt
+        res["ar2_mfu"] = flops / dt / PEAK_BF16
+    except Exception as e:  # noqa: BLE001
+        res["ar2_error"] = repr(e)[:300]
+
+    # --- big-batch in-batch contrastive DE step (global batch 512) --------
+    nb = 512
+    big = {
+        "q_ids": rng.integers(5, 30000, (nb, lq)).astype(np.int32),
+        "q_mask": np.ones((nb, lq), np.int32),
+        "ctx_ids": rng.integers(5, 30000, (nb, lc)).astype(np.int32),
+        "ctx_mask": np.ones((nb, lc), np.int32),
+        "positive_idx": np.arange(nb, dtype=np.int32),
+    }
+    try:
+        state = TrainState.create(jax.tree.map(jnp.asarray, de_params), tx)
+        step = make_biencoder_step(de, tx, mesh, grad_mode="full")
+        dt = time_steps(step, state, shard_batch(big, mesh))
+        flops = 3 * (_encode_flops(nb, lq) + _encode_flops(nb, lc))
+        res["de512_step_ms"] = dt * 1e3
+        res["de512_steps_per_s"] = 1.0 / dt
+        res["de512_mfu"] = flops / dt / PEAK_BF16
+        res["de512_examples_per_s"] = nb / dt
+    except Exception as e:  # noqa: BLE001
+        res["de512_error"] = repr(e)[:300]
+    emit(stage="train", **res)
+
+
 STAGES = {
     "serve": stage_serve,
+    "train": stage_train,
     "attn": stage_attn,
     "ffn": stage_ffn,
     "encode": stage_encode,

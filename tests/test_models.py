@@ -126,3 +126,29 @@ def test_colbert_maxsim():
         np.max(qn[0, t] @ dn[1].T) for t in range(16)
     )
     np.testing.assert_allclose(scores[0, 1], want, rtol=1e-4)
+
+
+def test_remat_trains():
+    """remat=True must work under value_and_grad (GradCache-capability
+    claim): regression for a tracer leak when the remat body closed over
+    the layer submodule instead of receiving it as the traced module."""
+    import optax
+
+    ids = np.ones((2, 8), np.int32)
+    mask = np.ones_like(ids)
+    model = BertEncoder(CFG.replace(remat=True))
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+
+    @jax.jit
+    def loss_fn(p):
+        return jnp.sum(model.apply(p, ids, mask).pooled.astype(jnp.float32)
+                       ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves(jax.tree.map(
+        lambda x: jnp.sum(jnp.abs(x).astype(jnp.float32)), g))
+    assert np.isfinite(sum(float(x) for x in flat))
+    # param paths identical to the non-remat model
+    p2 = BertEncoder(CFG).init(jax.random.PRNGKey(0), ids, mask)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))

@@ -60,3 +60,19 @@ def test_pretrain_recipe_exports_encoder(tmp_path):
 def test_unknown_recipe_rejected():
     with pytest.raises(SystemExit):
         run_mod.build_parser().parse_args(["--recipe", "nope"])
+
+
+def test_ar2_int8_index_and_fast_encode(tmp_path):
+    """--int8-index + --fast-encode: the production mining stack runs the
+    full co-training loop (fused-layer kernel interprets on CPU)."""
+    import simxns_tpu.ops.fused_layer as fl
+
+    old = fl.INTERPRET
+    fl.INTERPRET = True
+    try:
+        out = run_mod.main(_ar2_args(
+            tmp_path, "nq_ar2_simans",
+            extra=("--int8-index", "--fast-encode")))
+    finally:
+        fl.INTERPRET = old
+    assert np.isfinite(out["top1"]) and 0.0 <= out["top1"] <= 1.0
