@@ -664,6 +664,7 @@ def stage_train():
     def time_steps(step, state, *rest, k=6):
         out = step(state, *rest)                     # compile + 1st step
         state = out[0]
+        state, _ = step(state, *rest)                # 2nd warm (layouts)
         t0 = time.time()
         for _ in range(k):
             state, metrics = step(state, *rest)
@@ -682,7 +683,7 @@ def stage_train():
         "positive_idx": (np.arange(n) * m).astype(np.int32),
     }
     try:
-        state = TrainState.create(jax.tree.map(jnp.asarray, de_params), tx)
+        state = TrainState.create(jax.tree.map(jnp.copy, de_params), tx)
         step = make_ar2_retriever_step(de, ce, tx, mesh, adv_lambda=0.5)
         dt = time_steps(step, state, ce_params, shard_batch(batch, mesh))
         flops = (3 * (_encode_flops(n, lq) + _encode_flops(n * m, lc))
@@ -690,8 +691,12 @@ def stage_train():
         res["ar2_step_ms"] = dt * 1e3
         res["ar2_steps_per_s"] = 1.0 / dt
         res["ar2_mfu"] = flops / dt / PEAK_BF16
+        del state, step
     except Exception as e:  # noqa: BLE001
         res["ar2_error"] = repr(e)[:300]
+    import gc
+
+    gc.collect()
 
     # --- big-batch in-batch contrastive DE step (global batch 512) --------
     nb = 512
@@ -703,7 +708,7 @@ def stage_train():
         "positive_idx": np.arange(nb, dtype=np.int32),
     }
     try:
-        state = TrainState.create(jax.tree.map(jnp.asarray, de_params), tx)
+        state = TrainState.create(jax.tree.map(jnp.copy, de_params), tx)
         step = make_biencoder_step(de, tx, mesh, grad_mode="full")
         dt = time_steps(step, state, shard_batch(big, mesh))
         flops = 3 * (_encode_flops(nb, lq) + _encode_flops(nb, lc))

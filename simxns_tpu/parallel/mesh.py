@@ -134,9 +134,19 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     Accepts numpy or jax arrays; every leaf must share the same leading dim.
     """
 
-    def put(x):
-        x = np.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh, ndim=max(x.ndim, 1)))
+    # single-device meshes use plain placement: a NamedSharding-carrying
+    # arg flips jit into its sharded-executable path, which one relay
+    # backend runs at host-stream speed for large-state programs (same
+    # pathology as explicit in/out shardings — see steps._sharding_kwargs)
+    if mesh.size == 1:
+        dev = mesh.devices.reshape(-1)[0]
+
+        def put(x):
+            return jax.device_put(np.asarray(x), dev)
+    else:
+        def put(x):
+            x = np.asarray(x)
+            return jax.device_put(x, batch_sharding(mesh, ndim=max(x.ndim, 1)))
 
     return jax.tree_util.tree_map(put, batch)
 

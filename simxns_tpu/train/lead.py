@@ -33,6 +33,7 @@ from simxns_tpu.losses.lead import (
     layer_scores_from_cls, pair_kl, query_doc_attention_maps, virt_loss)
 from simxns_tpu.models.colbert import maxsim_score
 from simxns_tpu.parallel.mesh import DATA_AXIS, dp_axes
+from simxns_tpu.train.steps import _sharding_kwargs
 
 
 def ce_attention_targets(ce_attn_sel: jax.Array,   # [Lsel, B*M, H, Lj, Lj]
@@ -258,7 +259,5 @@ def make_lead_step(
 
     return jax.jit(
         step,
-        in_shardings=(repl, shard, repl, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
+        **_sharding_kwargs(mesh, (repl, shard, repl, repl), (repl, repl)),
     )

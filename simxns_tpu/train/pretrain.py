@@ -14,6 +14,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from simxns_tpu.parallel.mesh import DATA_AXIS, dp_axes
+from simxns_tpu.train.steps import _sharding_kwargs
 
 
 def make_condenser_step(model, tx: optax.GradientTransformation, mesh,
@@ -45,8 +46,8 @@ def make_condenser_step(model, tx: optax.GradientTransformation, mesh,
         new_state = state.apply_gradients(grads, tx)
         return new_state, {"loss": loss, **parts}
 
-    return jax.jit(step, in_shardings=(repl, shard),
-                   out_shardings=(repl, repl), donate_argnums=(0,))
+    return jax.jit(step, **_sharding_kwargs(mesh, (repl, shard),
+                                            (repl, repl)))
 
 
 def make_electra_step(model, tx: optax.GradientTransformation, mesh,
@@ -86,5 +87,5 @@ def make_electra_step(model, tx: optax.GradientTransformation, mesh,
         new_state = state.apply_gradients(grads, tx)
         return new_state, {"loss": loss, **parts}
 
-    return jax.jit(step, in_shardings=(repl, shard),
-                   out_shardings=(repl, repl), donate_argnums=(0,))
+    return jax.jit(step, **_sharding_kwargs(mesh, (repl, shard),
+                                            (repl, repl)))

@@ -27,8 +27,22 @@ class TrainState:
     def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
         import jax.numpy as jnp
 
-        return cls(params=params, opt_state=tx.init(params),
-                   step=jnp.zeros((), jnp.int32))
+        state = cls(params=params, opt_state=tx.init(params),
+                    step=jnp.zeros((), jnp.int32))
+        # Commit the fresh state to a device: an UNCOMMITTED state and the
+        # step's (donated, committed) output state have different jit
+        # cache keys, so the train step compiles TWICE — measured 45 s per
+        # compile at BERT-base on a remote-compile backend; committed
+        # up-front it compiles once and the 2nd step runs at full speed.
+        # Params already sharded across devices (tensor-parallel layouts)
+        # are left untouched — jit's explicit in_shardings handle them.
+        leaves = jax.tree_util.tree_leaves(params)
+        multi_device = any(
+            isinstance(x, jax.Array) and len(x.sharding.device_set) > 1
+            for x in leaves)
+        if not multi_device:
+            state = jax.device_put(state, jax.devices()[0])
+        return state
 
     def apply_gradients(self, grads, tx: optax.GradientTransformation
                         ) -> "TrainState":

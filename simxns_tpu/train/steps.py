@@ -107,6 +107,25 @@ def with_grad_accum(loss_fn: Callable, micro_steps: int) -> Callable:
     return vg
 
 
+def _sharding_kwargs(mesh, in_shardings, out_shardings=None) -> dict:
+    """jit sharding kwargs — OMITTED on a single-device mesh.
+
+    On one device every sharding is trivial, so explicit in/out
+    shardings change nothing semantically — but they are not free on
+    every runtime: one tunneled/relay backend ran a BERT-base train step
+    with multi-GB state at host-stream speed when explicit shardings
+    were present (measured A/B, same program: plain jit 635 ms/step,
+    +donate 633 ms, +in/out shardings 40.9 s — 64x). Donation is
+    unconditional (it is innocent and halves peak state HBM).
+    """
+    kw = {"donate_argnums": (0,)}
+    if mesh.size > 1:
+        kw["in_shardings"] = in_shardings
+        if out_shardings is not None:
+            kw["out_shardings"] = out_shardings
+    return kw
+
+
 def _jit_step(fn, mesh, state_like=None, auto_state: bool = False):
     """jit a ``(state, batch) -> (state, metrics)`` step over the mesh.
 
@@ -117,9 +136,9 @@ def _jit_step(fn, mesh, state_like=None, auto_state: bool = False):
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(dp_axes(mesh)))
     if auto_state:
-        return jax.jit(fn, in_shardings=(None, shard), donate_argnums=(0,))
-    return jax.jit(fn, in_shardings=(repl, shard), out_shardings=(repl, repl),
-                   donate_argnums=(0,))
+        return jax.jit(fn, **_sharding_kwargs(mesh, (None, shard)))
+    return jax.jit(fn, **_sharding_kwargs(mesh, (repl, shard),
+                                          (repl, repl)))
 
 
 def make_biencoder_step(
@@ -348,7 +367,6 @@ def make_ar2_retriever_step(
         return new_state, {"loss": loss, **aux}
 
     if auto_state:
-        return jax.jit(step, in_shardings=(None, None, shard),
-                       donate_argnums=(0,))
-    return jax.jit(step, in_shardings=(repl, repl, shard),
-                   out_shardings=(repl, repl), donate_argnums=(0,))
+        return jax.jit(step, **_sharding_kwargs(mesh, (None, None, shard)))
+    return jax.jit(step, **_sharding_kwargs(mesh, (repl, repl, shard),
+                                            (repl, repl)))
