@@ -83,6 +83,34 @@ class EncoderOutput:
     attentions: Optional[Tuple[jax.Array, ...]] = None     # L x [B, heads, S, S]
 
 
+def _guard_quantized_under_grad(x, impl: str) -> None:
+    """Refuse to *train* through an encode-only quantized path.
+
+    ``round()`` has zero gradient, so differentiating an int8 impl yields
+    silently-zero weight gradients (or a pallas_call autodiff error). The
+    quantized impls (``ffn_impl='int8'``, ``proj_impl='int8'``,
+    ``layer_impl='fused_int8'``) are encode/serving-only; a training model
+    must use a differentiable composition. Detection: under ``jax.grad`` /
+    ``jax.vjp`` the activations carry a JVP/Linearize tracer even inside
+    jit (grad re-traces the function body on top of the jit trace).
+    """
+    under_grad = False
+    t = x
+    while isinstance(t, jax.core.Tracer):
+        if type(t).__name__ in ("JVPTracer", "LinearizeTracer"):
+            under_grad = True
+            break
+        t = getattr(t, "primal", None)
+    if under_grad:
+        raise ValueError(
+            f"BertConfig {impl} is an encode-only quantized path but is "
+            "being differentiated: round() has zero gradient, so training "
+            "through it produces zero/failing gradients. Build the training "
+            "model with the default (differentiable) impls and reserve the "
+            "quantized impls for a separate encode-only model view (the "
+            "param trees interchange — see run.py --fast-encode).")
+
+
 def _dense(cfg: BertConfig, features: int, name: str) -> nn.Dense:
     return nn.Dense(
         features,
@@ -146,6 +174,7 @@ class BertSelfAttention(nn.Module):
             # encode-only int8-MXU projections; _KernelBias declares the
             # same query/key/value/output {kernel, bias} param paths
             # nn.Dense would, so checkpoints interchange across proj_impl.
+            _guard_quantized_under_grad(hidden, "proj_impl='int8'")
             from simxns_tpu.ops.fused_ffn import int8_dense
 
             x8 = hidden.astype(cfg.dtype)
@@ -248,6 +277,7 @@ class BertLayer(nn.Module):
             # and round() has zero grad so it must never train);
             # param paths match the standard composition exactly, so
             # checkpoints interchange across layer_impl.
+            _guard_quantized_under_grad(hidden, "layer_impl='fused_int8'")
             from simxns_tpu.ops.fused_layer import fused_encoder_layer_int8
 
             att = _AttnParams(cfg, name="attention")()
@@ -281,6 +311,8 @@ class BertLayer(nn.Module):
                                  cfg.hidden_size, name="output")()
             # "int8" is the encode/serving path (2x MXU peak); round() has
             # zero gradient, so it must not be used for training.
+            if cfg.ffn_impl == "int8":
+                _guard_quantized_under_grad(attn_out, "ffn_impl='int8'")
             impl = int8_ffn if cfg.ffn_impl == "int8" else fused_ffn
             out = impl(attn_out.astype(cfg.dtype), w1, b1, w2, b2)
         else:

@@ -32,7 +32,7 @@ from simxns_tpu.losses.distill import (
     bi_logit_loss, colbert_teacher_scores, dkd_loss, kd_logit_mse_loss,
     kd_softmax_loss, prob_loss)
 from simxns_tpu.parallel.mesh import DATA_AXIS, dp_axes
-from simxns_tpu.train.steps import _sharding_kwargs
+from simxns_tpu.train.steps import sharding_kwargs
 
 
 def soft_kd_loss(kd_type: str, student_scores, teacher_scores, target_idx,
@@ -95,7 +95,7 @@ def make_ce_kd_step(
         new_state = state.apply_gradients(grads, tx)
         return new_state, {"loss": loss, **aux}
 
-    return jax.jit(step, **_sharding_kwargs(mesh, (repl, repl, shard),
+    return jax.jit(step, **sharding_kwargs(mesh, (repl, repl, shard),
                                             (repl, repl)))
 
 
@@ -229,5 +229,5 @@ def make_kd_step(
         new_state = state.apply_gradients(grads, tx)
         return new_state, {"loss": loss, **aux}
 
-    return jax.jit(step, **_sharding_kwargs(mesh, (repl, repl, shard),
+    return jax.jit(step, **sharding_kwargs(mesh, (repl, repl, shard),
                                             (repl, repl)))

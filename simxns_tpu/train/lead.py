@@ -33,7 +33,7 @@ from simxns_tpu.losses.lead import (
     layer_scores_from_cls, pair_kl, query_doc_attention_maps, virt_loss)
 from simxns_tpu.models.colbert import maxsim_score
 from simxns_tpu.parallel.mesh import DATA_AXIS, dp_axes
-from simxns_tpu.train.steps import _sharding_kwargs
+from simxns_tpu.train.steps import sharding_kwargs
 
 
 def ce_attention_targets(ce_attn_sel: jax.Array,   # [Lsel, B*M, H, Lj, Lj]
@@ -259,5 +259,5 @@ def make_lead_step(
 
     return jax.jit(
         step,
-        **_sharding_kwargs(mesh, (repl, shard, repl, repl), (repl, repl)),
+        **sharding_kwargs(mesh, (repl, shard, repl, repl), (repl, repl)),
     )

@@ -14,7 +14,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from simxns_tpu.parallel.mesh import DATA_AXIS, dp_axes
-from simxns_tpu.train.steps import _sharding_kwargs
+from simxns_tpu.train.steps import sharding_kwargs
 
 
 def make_condenser_step(model, tx: optax.GradientTransformation, mesh,
@@ -46,7 +46,7 @@ def make_condenser_step(model, tx: optax.GradientTransformation, mesh,
         new_state = state.apply_gradients(grads, tx)
         return new_state, {"loss": loss, **parts}
 
-    return jax.jit(step, **_sharding_kwargs(mesh, (repl, shard),
+    return jax.jit(step, **sharding_kwargs(mesh, (repl, shard),
                                             (repl, repl)))
 
 
@@ -87,5 +87,5 @@ def make_electra_step(model, tx: optax.GradientTransformation, mesh,
         new_state = state.apply_gradients(grads, tx)
         return new_state, {"loss": loss, **parts}
 
-    return jax.jit(step, **_sharding_kwargs(mesh, (repl, shard),
+    return jax.jit(step, **sharding_kwargs(mesh, (repl, shard),
                                             (repl, repl)))

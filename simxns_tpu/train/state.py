@@ -24,7 +24,8 @@ class TrainState:
     step: jax.Array
 
     @classmethod
-    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+    def create(cls, params, tx: optax.GradientTransformation,
+               mesh=None) -> "TrainState":
         import jax.numpy as jnp
 
         state = cls(params=params, opt_state=tx.init(params),
@@ -36,12 +37,17 @@ class TrainState:
         # up-front it compiles once and the 2nd step runs at full speed.
         # Params already sharded across devices (tensor-parallel layouts)
         # are left untouched — jit's explicit in_shardings handle them.
+        # Pass ``mesh`` when training over a mesh built on non-default
+        # devices: committing to jax.devices()[0] there would place state
+        # and batch on different devices (placement error / per-step copy).
         leaves = jax.tree_util.tree_leaves(params)
         multi_device = any(
             isinstance(x, jax.Array) and len(x.sharding.device_set) > 1
             for x in leaves)
         if not multi_device:
-            state = jax.device_put(state, jax.devices()[0])
+            device = (mesh.devices.flat[0] if mesh is not None
+                      else jax.devices()[0])
+            state = jax.device_put(state, device)
         return state
 
     def apply_gradients(self, grads, tx: optax.GradientTransformation

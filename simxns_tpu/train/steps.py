@@ -107,7 +107,7 @@ def with_grad_accum(loss_fn: Callable, micro_steps: int) -> Callable:
     return vg
 
 
-def _sharding_kwargs(mesh, in_shardings, out_shardings=None) -> dict:
+def sharding_kwargs(mesh, in_shardings, out_shardings=None) -> dict:
     """jit sharding kwargs — OMITTED on a single-device mesh.
 
     On one device every sharding is trivial, so explicit in/out
@@ -126,6 +126,10 @@ def _sharding_kwargs(mesh, in_shardings, out_shardings=None) -> dict:
     return kw
 
 
+# Back-compat private alias (kd/lead/pretrain imported the underscore name).
+_sharding_kwargs = sharding_kwargs
+
+
 def _jit_step(fn, mesh, state_like=None, auto_state: bool = False):
     """jit a ``(state, batch) -> (state, metrics)`` step over the mesh.
 
@@ -136,8 +140,8 @@ def _jit_step(fn, mesh, state_like=None, auto_state: bool = False):
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(dp_axes(mesh)))
     if auto_state:
-        return jax.jit(fn, **_sharding_kwargs(mesh, (None, shard)))
-    return jax.jit(fn, **_sharding_kwargs(mesh, (repl, shard),
+        return jax.jit(fn, **sharding_kwargs(mesh, (None, shard)))
+    return jax.jit(fn, **sharding_kwargs(mesh, (repl, shard),
                                           (repl, repl)))
 
 
@@ -367,6 +371,6 @@ def make_ar2_retriever_step(
         return new_state, {"loss": loss, **aux}
 
     if auto_state:
-        return jax.jit(step, **_sharding_kwargs(mesh, (None, None, shard)))
-    return jax.jit(step, **_sharding_kwargs(mesh, (repl, repl, shard),
+        return jax.jit(step, **sharding_kwargs(mesh, (None, None, shard)))
+    return jax.jit(step, **sharding_kwargs(mesh, (repl, repl, shard),
                                             (repl, repl)))

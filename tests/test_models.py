@@ -152,3 +152,21 @@ def test_remat_trains():
     p2 = BertEncoder(CFG).init(jax.random.PRNGKey(0), ids, mask)
     assert (jax.tree_util.tree_structure(params)
             == jax.tree_util.tree_structure(p2))
+
+
+def test_quantized_impls_refuse_gradients():
+    """Encode-only int8 impls raise under a gradient trace instead of
+    silently producing zero grads through round() (ADVICE r2)."""
+    ids = np.ones((2, 8), np.int32)
+    mask = np.ones_like(ids)
+    base = BertEncoder(CFG).init(jax.random.PRNGKey(0), ids, mask)
+    for kw in ({"ffn_impl": "int8"}, {"proj_impl": "int8"},
+               {"layer_impl": "fused_int8"}):
+        model = BertEncoder(CFG.replace(**kw))
+
+        def loss_fn(p):
+            return jnp.sum(
+                model.apply(p, ids, mask).pooled.astype(jnp.float32) ** 2)
+
+        with pytest.raises(ValueError, match="encode-only quantized"):
+            jax.grad(loss_fn)(base)
