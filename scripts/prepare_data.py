@@ -10,6 +10,8 @@ file formats once, offline:
         --titles para.title.txt --out corpus.npz
     python scripts/prepare_data.py msdoc --docs msmarco-docs.tsv --out corpus.npz
     python scripts/prepare_data.py queries --qa nq-train.qa.csv --out q.npz
+    python scripts/prepare_data.py marco-queries --queries-tsv \
+        queries.train.tsv --out q.npz      # qid\\tquery; pids carry the qids
 
 Outputs an ``.npz`` with ``ids [N, L] int32`` (CLS...SEP, pad 0),
 ``pids [N] int64`` and, for queries, a JSON sidecar with questions/answers.
@@ -59,21 +61,23 @@ def pack(tok, texts, pairs, max_length):
     return ids
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["corpus", "marco-corpus", "msdoc",
-                                     "queries"])
+                                     "queries", "marco-queries"])
     ap.add_argument("--passages")
     ap.add_argument("--para")
     ap.add_argument("--titles")
     ap.add_argument("--docs")
     ap.add_argument("--qa")
+    ap.add_argument("--queries-tsv")
     ap.add_argument("--out", required=True)
     ap.add_argument("--max-length", type=int, default=128)
     ap.add_argument("--tokenizer", default=None)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     required = {"corpus": "passages", "marco-corpus": "para",
-                "msdoc": "docs", "queries": "qa"}
+                "msdoc": "docs", "queries": "qa",
+                "marco-queries": "queries_tsv"}
     if getattr(args, required[args.mode]) is None:
         ap.error(f"mode '{args.mode}' requires --{required[args.mode]}")
     tok = get_tokenizer(args.tokenizer)
@@ -94,6 +98,21 @@ def main():
         rows = load_msdoc_tsv(args.docs)
         pids = np.asarray([r[0] for r in rows], np.int64)
         ids = pack(tok, [r[1] for r in rows], None, args.max_length)
+    elif args.mode == "marco-queries":
+        # MARCO queries.train.tsv (qid\tquery): pids carry the REAL qids so
+        # run.py --qrels can join rows to qrels (inference_DE_marco.py:446+)
+        qids, texts = [], []
+        with open(args.queries_tsv, encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 2:
+                    continue
+                qids.append(int(parts[0]))
+                texts.append(parts[1])
+        pids = np.asarray(qids, np.int64)
+        ids = pack(tok, texts, None, args.max_length)
+        with open(args.out + ".qa.json", "w", encoding="utf-8") as f:
+            json.dump([{"question": q, "answers": []} for q in texts], f)
     else:  # queries
         qa = load_qa_csv(args.qa)
         pids = np.arange(len(qa), dtype=np.int64)

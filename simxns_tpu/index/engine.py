@@ -310,7 +310,20 @@ class RetrievalEngine:
         k: int = 100,
         gold_positives: Optional[Dict[str, dict]] = None,
         match_type: str = "string",
+        positive_ids: Optional[Sequence] = None,
     ) -> MiningResult:
+        """Search + label + metrics + train-file refresh.
+
+        Hit labeling has the reference's two modes:
+
+        - answer string match (``has_answer`` over passage text) — the
+          wiki/NQ/TQ path (``co_training_generate_new_train_wiki.py:349-358``);
+        - ``positive_ids``: per-query collections of gold passage ids (row
+          ids in this index) — the MARCO qrels path, where relevance comes
+          from qrels instead of string match
+          (``inference_DE_marco.py:446-560`` load qidmap/qrels -> labels).
+          When given it takes precedence over string matching.
+        """
         import contextlib
 
         timed = (self.logger.timed if self.logger is not None
@@ -318,13 +331,19 @@ class RetrievalEngine:
         with timed("search"):
             scores, ids = self.index.search(query_embeddings, k)
         with timed("hit_labeling"):
-            hits = [
-                [has_answer(answers[qi],
-                            self.passages.get(int(pid), ("", ""))[0],
-                            match_type)
-                 for pid in ids[qi]]
-                for qi in range(len(questions))
-            ]
+            if positive_ids is not None:
+                gold_sets = [set(int(p) for p in pids)
+                             for pids in positive_ids]
+                hits = [[int(pid) in gold_sets[qi] for pid in ids[qi]]
+                        for qi in range(len(questions))]
+            else:
+                hits = [
+                    [has_answer(answers[qi],
+                                self.passages.get(int(pid), ("", ""))[0],
+                                match_type)
+                     for pid in ids[qi]]
+                    for qi in range(len(questions))
+                ]
         q_ids = q_ids if q_ids is not None else [str(i) for i in range(len(questions))]
         train = reform_out(questions, answers, q_ids, ids, scores, hits,
                            self.passages, gold_positives)

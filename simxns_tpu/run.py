@@ -8,15 +8,27 @@ published configuration is a named recipe over the typed config tree
 (:data:`simxns_tpu.config.RECIPES`) and this module is the one entry point:
 
     python -m simxns_tpu.run --recipe nq_ar2_simans --synthetic
+    python -m simxns_tpu.run --recipe nq_ar2_simans \
+        --corpus corpus.npz --queries queries.npz \
+        --passages-tsv psgs_w100.tsv --output-dir runs/nq
     python -m simxns_tpu.run --recipe marco_ar2_simans \
-        --corpus corpus.npz --queries queries.npz --output-dir runs/marco
+        --corpus corpus.npz --queries queries.npz \
+        --qrels qrels.train.tsv --output-dir runs/marco
     python -m simxns_tpu.run --recipe master_pretrain --synthetic --steps 50
 
 Real data comes from ``scripts/prepare_data.py`` (packed ``.npz`` token
-arrays + a ``.qa.json`` sidecar for queries). Without ``--corpus`` the
-launcher generates a synthetic corpus (the reference datasets are not
-redistributable), so every recipe runs out of the box; add ``--tpu`` to run
-on real chips instead of the virtual CPU mesh.
+arrays + a ``.qa.json`` sidecar for queries). Mining labels need one of:
+
+- ``--passages-tsv`` (``psgs_w100.tsv``) or ``--para``/``--titles`` (MARCO
+  ``para.txt``) — the original text, for ``has_answer`` string matching
+  (wiki/NQ/TQ contract);
+- ``--qrels`` — gold (qid, pid) relevance for id-based labeling (the MARCO
+  contract; positives come from qrels, not string match).
+
+Without ``--corpus`` the launcher generates a synthetic corpus (the
+reference datasets are not redistributable), so every recipe runs out of
+the box; add ``--tpu`` to run on real chips instead of the virtual CPU
+mesh.
 
 Outputs land in ``--output-dir``: ``metrics.jsonl`` (step + phase logs),
 Orbax checkpoints, and a final ``eval.json`` for retrieval recipes.
@@ -47,6 +59,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="packed corpus .npz from scripts/prepare_data.py")
     ap.add_argument("--queries", default=None,
                     help="packed queries .npz (+ .qa.json sidecar)")
+    ap.add_argument("--passages-tsv", default=None,
+                    help="original psgs_w100.tsv (id/text/title) for "
+                         "has_answer hit labeling on a prepared corpus")
+    ap.add_argument("--para", default=None,
+                    help="MARCO para.txt (id\\ttext) for hit labeling")
+    ap.add_argument("--titles", default=None,
+                    help="MARCO para.title.txt (id\\ttitle)")
+    ap.add_argument("--qrels", default=None,
+                    help="qrels file (qid\\tpid or TREC 4-col): label mined "
+                         "hits by gold ids instead of string match")
     ap.add_argument("--synthetic", action="store_true",
                     help="force the synthetic corpus even if --corpus given")
     ap.add_argument("--output-dir", default=None,
@@ -66,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--full-size", action="store_true",
                     help="use the recipe's full model shapes even on the "
                          "synthetic corpus (default: tiny models there)")
+    ap.add_argument("--tiny-models", action="store_true",
+                    help="force tiny model shapes even with a real corpus "
+                         "(smoke-testing a data pipeline end-to-end)")
     ap.add_argument("--corpus-size", type=int, default=256,
                     help="synthetic corpus passage count")
     ap.add_argument("--num-queries", type=int, default=64,
@@ -107,10 +132,14 @@ def _bert_cfg(recipe_bert, tiny: bool, vocab: int):
 
 
 class _Corpus:
-    """Token arrays + QA labels, from prepared .npz files or synthesized."""
+    """Token arrays + QA labels, from prepared .npz files or synthesized.
+
+    ``positive_rows`` (optional) carries per-query gold row ids (qrels
+    labeling mode); ``passages`` maps corpus ROW index -> (text, title).
+    """
 
     def __init__(self, corpus_ids, query_ids, questions, answers, passages,
-                 vocab_size, sep_id):
+                 vocab_size, sep_id, positive_rows=None):
         self.corpus_ids = corpus_ids
         self.query_ids = query_ids
         self.questions = questions
@@ -118,6 +147,7 @@ class _Corpus:
         self.passages = passages
         self.vocab_size = vocab_size
         self.sep_id = sep_id
+        self.positive_rows = positive_rows
 
     @property
     def corpus_mask(self):
@@ -129,10 +159,23 @@ class _Corpus:
 
 
 def _load_prepared(args, data_cfg) -> _Corpus:
+    """Prepared token arrays + the labeling source for real mining.
+
+    Mined hit labels are real in either of the reference's two modes:
+    original text alongside the packed tokens (``has_answer`` string match,
+    ``co_training_generate_new_train_wiki.py:334-358``) or qrels gold ids
+    (``inference_DE_marco.py:446-560``). A token-only corpus with neither
+    labels every hit False — warn loudly instead of mining garbage.
+    """
+    from simxns_tpu.data.datasets import (
+        load_id_text, load_passages_tsv, load_qrels)
+
     corpus = np.load(args.corpus)
     queries = np.load(args.queries)
     corpus_ids = corpus["ids"].astype(np.int32)
     query_ids = queries["ids"].astype(np.int32)
+    corpus_pids = (corpus["pids"] if "pids" in corpus
+                   else np.arange(len(corpus_ids)))
     qa_path = args.queries + ".qa.json"
     if os.path.exists(qa_path):
         with open(qa_path, encoding="utf-8") as f:
@@ -142,14 +185,50 @@ def _load_prepared(args, data_cfg) -> _Corpus:
     else:
         questions = [f"q{i}" for i in range(len(query_ids))]
         answers = [[] for _ in range(len(query_ids))]
-    # hit labeling needs passage text; prepared corpora are token-only, so
-    # fall back to token-id membership via a decoded placeholder (real runs
-    # should pass the original text corpus for string matching — the engine
-    # accepts any pid->(text, title) dict).
-    passages = {i: (f"passage {i}", "") for i in range(len(corpus_ids))}
+
+    # --- labeling source 1: original passage text (string matching) -------
+    text_by_pid = None
+    if args.passages_tsv:
+        text_by_pid = {pid: (text, title)
+                       for pid, text, title in load_passages_tsv(
+                           args.passages_tsv)}
+    elif args.para:
+        body = load_id_text(args.para)
+        titles = load_id_text(args.titles) if args.titles else {}
+        text_by_pid = {pid: (t, titles.get(pid, ""))
+                       for pid, t in body.items()}
+    if text_by_pid is not None:
+        passages = {row: text_by_pid.get(int(pid), ("", ""))
+                    for row, pid in enumerate(corpus_pids)}
+    else:
+        passages = {}
+
+    # --- labeling source 2: qrels gold ids (MARCO contract) ----------------
+    positive_rows = None
+    if args.qrels:
+        qrels = load_qrels(args.qrels)
+        pid_to_row = {int(p): r for r, p in enumerate(corpus_pids)}
+        qids = (queries["pids"] if "pids" in queries
+                else np.arange(len(query_ids)))
+        positive_rows = [
+            [pid_to_row[p] for p in qrels.get(str(int(q)), [])
+             if p in pid_to_row]
+            for q in qids]
+        n_labeled = sum(1 for r in positive_rows if r)
+        print(f"qrels: {n_labeled}/{len(positive_rows)} queries have gold "
+              "passages in this corpus", file=sys.stderr)
+
+    if text_by_pid is None and positive_rows is None:
+        print("WARNING: corpus is token-only and no --passages-tsv/--para "
+              "or --qrels was given — mined hit labels will be ALL-FALSE "
+              "(no usable training pairs). Pass the original text for "
+              "has_answer matching or qrels for id labeling.",
+              file=sys.stderr)
+
     vocab = int(max(corpus_ids.max(), query_ids.max())) + 1
     return _Corpus(corpus_ids, query_ids, questions, answers, passages,
-                   vocab_size=max(vocab, 512), sep_id=2)
+                   vocab_size=max(vocab, 512), sep_id=2,
+                   positive_rows=positive_rows)
 
 
 def _synthesize(args, data_cfg) -> _Corpus:
@@ -218,7 +297,8 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
         make_biencoder_step, make_reranker_step)
 
     data = _get_corpus(args, cfg.data)
-    tiny = not args.full_size and not (args.corpus and not args.synthetic)
+    tiny = args.tiny_models or (
+        not args.full_size and not (args.corpus and not args.synthetic))
     mesh = create_mesh()
     logger = MetricLogger(args.output_dir)
     steps = args.steps if args.steps is not None else (
@@ -303,7 +383,8 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
         index.build(p_enc(state.params, data.corpus_ids, data.corpus_mask))
         return engine.mine(
             q_enc(state.params, data.query_ids, data.query_mask),
-            data.questions, data.answers, k=topk)
+            data.questions, data.answers, k=topk,
+            positive_ids=data.positive_rows)
 
     def dataset_from(res, seed):
         return from_mining_result(
@@ -408,7 +489,8 @@ def run_kd(name: str, cfg: KDRecipeConfig, args) -> dict:
         TrainState, make_kd_step, make_reranker_step)
 
     data = _get_corpus(args, cfg.data)
-    tiny = not args.full_size and not (args.corpus and not args.synthetic)
+    tiny = args.tiny_models or (
+        not args.full_size and not (args.corpus and not args.synthetic))
     mesh = create_mesh()
     logger = MetricLogger(args.output_dir)
     steps = args.steps if args.steps is not None else (
