@@ -58,6 +58,8 @@ from simxns_tpu.io.logging import MetricLogger  # noqa: E402
 from simxns_tpu.train import (  # noqa: E402
     TrainState, make_adamw, make_biencoder_step, make_reranker_step,
     make_ar2_retriever_step, AR2Config, AR2CoTrainer)
+from simxns_tpu.train.driver import (  # noqa: E402
+    RecallGuard, check_teacher_warmth)
 
 if args.cpu:
     import simxns_tpu.ops.mips_kernel as mk
@@ -176,6 +178,7 @@ ce_warm = make_reranker_step(ce, tx, mesh, group_size=1 + NEG)
 # within one 20-step KL window, for bf16 and int8 indexes alike). Scale CE
 # warm epochs so small runs still see >= ~48 teacher steps.
 ce_epochs = max(4, -(-48 * 64 // max(Q, 1)))
+ce_steps = 0
 with log.timed("warmup"):
     for epoch in range(16):
         for b in warm_ds.batches(batch_size=64, with_joint=False):
@@ -185,9 +188,13 @@ with log.timed("warmup"):
             dev = shard_batch({"joint_ids": b["joint_ids"],
                                "joint_mask": b["joint_mask"]}, mesh)
             ce_state, cm = ce_warm(ce_state, dev)
+            ce_steps += 1
+check_teacher_warmth(ce_steps)   # library-level adequacy floor (48 steps)
 
+guard = RecallGuard()
 res = mine(de_state)
 recalls = [res.top_k_hits[0]]
+guard.update(res.top_k_hits[0])
 print(f"after warm-up: top1={res.top_k_hits[0]:.3f} "
       f"top100={res.top_k_hits[K - 1]:.3f}", flush=True)
 
@@ -205,6 +212,7 @@ current = dataset_from(res, 1)
 def refresh(state, gstep):
     r = mine(state)
     recalls.append(r.top_k_hits[0])
+    guard.update(r.top_k_hits[0])
     print(f"  refresh@{gstep}: top1={r.top_k_hits[0]:.3f}", flush=True)
     ds = dataset_from(r, gstep)
     return (lambda: ds.batches(batch_size=64)) if len(ds) >= 64 else None
@@ -223,6 +231,7 @@ trainer.run()
 total_s = time.time() - t_start
 final = mine(trainer.de_state)
 recalls.append(final.top_k_hits[0])
+guard.update(final.top_k_hits[0])
 
 phases = dict(log.phase_times)
 phases["train_steps"] = total_s - sum(phases.values())
@@ -244,3 +253,10 @@ rec = {"stage": "soak_ar2", "corpus": N, "queries": Q,
 with open("/root/repo/bench_r2_results.jsonl", "a") as f:
     f.write(json.dumps(rec) + "\n")
 print("RESULT", json.dumps(rec), flush=True)
+
+# co-training must never END below its starting recall (VERDICT r2 weak #5:
+# two CPU-smoke rows collapsed silently — cold CE teacher; the guard above
+# now warns at the drop and this assertion makes the soak itself fail)
+assert guard.ok(), (
+    f"co-training recall ended below its start: {recalls} — see "
+    "check_teacher_warmth / RecallGuard (train/driver.py)")

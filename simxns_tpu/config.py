@@ -15,6 +15,15 @@ published launcher settings so runs are reproducible from a name:
 - ``prod_kd_marco``   — ``PROD/README.md`` progressive pipeline defaults
 - ``master_pretrain`` — ``MASTER/pretrain`` defaults (enc mask 0.30,
   dec mask 0.50, 2-layer heads)
+- ``tq_ar2_simans``   — ``SimANS/train_TQ_AR2.sh:15-50`` (TriviaQA: lr 5e-6,
+  10k steps, b=0)
+- ``msdoc_ar2_simans``— ``SimANS/train_MS_Doc_AR2.sh:10-50`` (RobertaDot
+  towers + STAR BPE, seq 512, iteration 5000/1000, adv_lambda 1)
+- ``lead_ms_distill`` — ``LEAD/distillation/distill_from_12ce_to_6de.sh:
+  40-71`` (joint db+ce training, layer-score reweighting, T_layer=10)
+- ``capstone_curriculum`` — ``CAPSTONE/run_de_model_expand_corpus_
+  cocondenser.sh:14-40`` (doc2query expansion, gradual curriculum)
+- ``allies_qa``       — ``ALLIES/main.py`` beam-search QA defaults
 """
 
 from __future__ import annotations
@@ -133,6 +142,70 @@ class MasterPretrainConfig:
     global_batch: int = 512
 
 
+@dataclasses.dataclass(frozen=True)
+class LeadRecipeConfig:
+    """LEAD joint distillation: 12-layer CE teacher + 6-layer DE student
+    trained TOGETHER (``distill_from_12ce_to_6de.sh:40-71``: --distill_ce
+    --train_ce --distill_db --train_db --distill_ce_db_layer_score
+    --layer_selection_random --layer_score_reweight --share_weight)."""
+    data: DataConfig = dataclasses.field(default_factory=lambda: DataConfig(
+        num_negatives=1, simans_mode=None, max_joint_length=160))
+    student: RetrieverConfig = dataclasses.field(
+        default_factory=lambda: RetrieverConfig(
+            bert=BertConfig(num_layers=6), share_weight=True))
+    teacher_ce: RerankerConfig = dataclasses.field(
+        default_factory=lambda: RerankerConfig(
+            bert=BertConfig(), per_layer_logits=True))
+    optim: OptimConfig = dataclasses.field(
+        default_factory=lambda: OptimConfig(learning_rate=5e-5))
+    temperature: float = 1.0
+    layer_temperature: float = 10.0
+    num_distill_layers: int = 3
+    layer_selection: str = "random"
+    reweight: bool = True
+    save_steps: int = 10                 # layer re-draw interval
+    grad_accum: int = 10
+    warmup_ratio: float = 0.1
+    global_batch: int = 64
+    max_steps: int = 100_000
+
+
+@dataclasses.dataclass(frozen=True)
+class CapstoneRecipeConfig:
+    """CAPSTONE curriculum DE training over a doc2query-expanded corpus
+    (``run_de_model_expand_corpus_cocondenser.sh:14-40``)."""
+    data: DataConfig = dataclasses.field(default_factory=lambda: DataConfig(
+        num_negatives=31, simans_mode=None, max_q_length=32,
+        max_ctx_length=144))
+    retriever: RetrieverConfig = dataclasses.field(
+        default_factory=RetrieverConfig)
+    optim: OptimConfig = dataclasses.field(
+        default_factory=lambda: OptimConfig(learning_rate=5e-6,
+                                            warmup_steps=2000,
+                                            total_steps=20_000))
+    select_generated_query: str = "gradual"
+    total_part: int = 3
+    delimiter: str = "sep"               # "sep" -> ' [SEP] ', "blank" -> ' '
+    gold_query_prob: float = 0.0
+    top_k_query: int = 1                 # inference-time corpus expansion
+    shuffle_positives: bool = True
+    global_batch: int = 64
+    max_steps: int = 20_000
+
+
+@dataclasses.dataclass(frozen=True)
+class AlliesRecipeConfig:
+    """ALLIES beam-search QA over a dense retriever + LLM
+    (``ALLIES/main.py:11-160`` argparse defaults)."""
+    beam_size: int = 2
+    beam_depth: int = 2
+    threshold: float = 0.8
+    retrieval_type: str = "retrieve"     # "retrieve" | "generate"
+    summarize: bool = False
+    topk: int = 5
+    ask_question_num: int = 2
+
+
 def _base_bert() -> BertConfig:
     return BertConfig()          # BERT/ERNIE-base shape
 
@@ -155,4 +228,33 @@ RECIPES = {
         max_steps=30_000),
     "prod_kd_marco": KDRecipeConfig(),
     "master_pretrain": MasterPretrainConfig(),
+    # TriviaQA co-training (train_TQ_AR2.sh:15-50): NQ structure with
+    # lr 5e-6, 10k steps, warmup 1000, SimANS b=0
+    "tq_ar2_simans": AR2RecipeConfig(
+        data=DataConfig(num_negatives=15, simans_mode="quadratic",
+                        simans_a=0.5, simans_b=0.0, max_ctx_length=128),
+        retriever_optim=OptimConfig(learning_rate=5e-6, warmup_steps=1000,
+                                    total_steps=10_000),
+        reranker_optim=OptimConfig(learning_rate=1e-6, warmup_steps=1000,
+                                   total_steps=10_000),
+        max_steps=10_000, adv_lambda=0.0, temperature_normal=1.0),
+    # MS-MARCO Doc co-training (train_MS_Doc_AR2.sh:10-50): RobertaDot
+    # projection towers over STAR BPE, seq 512, 32x8 batch, distill loss
+    # (adv_lambda 1), iteration 5000/1000
+    "msdoc_ar2_simans": AR2RecipeConfig(
+        data=DataConfig(num_negatives=15, simans_mode="abs", simans_tau=3.0,
+                        max_q_length=32, max_ctx_length=512,
+                        max_joint_length=512),
+        retriever=RetrieverConfig(
+            bert=BertConfig(vocab_size=50265), projection_dim=768),
+        reranker=RerankerConfig(bert=BertConfig(vocab_size=50265)),
+        retriever_optim=OptimConfig(learning_rate=5e-6, warmup_steps=2000,
+                                    total_steps=40_000),
+        reranker_optim=OptimConfig(learning_rate=1e-6, warmup_steps=2000,
+                                   total_steps=40_000),
+        global_batch=256, iteration_step=5000,
+        iteration_reranker_step=1000, max_steps=40_000, adv_lambda=1.0),
+    "lead_ms_distill": LeadRecipeConfig(),
+    "capstone_curriculum": CapstoneRecipeConfig(),
+    "allies_qa": AlliesRecipeConfig(),
 }

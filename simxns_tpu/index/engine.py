@@ -136,17 +136,62 @@ class MIPSIndex:
         self._search_cache.clear()
 
     def update_rows(self, start: int, embeddings: np.ndarray) -> None:
-        """In-place shard update (incremental re-encode between phases)."""
+        """In-place row update (incremental re-encode between phases).
+
+        Device-side and donation-based: the updated index never leaves HBM
+        and never doubles (the donated input buffer is reused), the int8
+        branch quantizes ON DEVICE (per-row symmetric codes + scales, same
+        math as :meth:`_quantize`), and the result sharding is pinned back
+        to the row-sharded layout so subsequent searches see the same
+        distribution. ``start`` is a traced scalar — updating different
+        offsets does not recompile; only a new chunk SHAPE does.
+        """
+        n = embeddings.shape[0]
+        if start < 0 or start + n > self.num_rows:
+            raise ValueError(
+                f"update_rows([{start}:{start + n}]) outside the live row "
+                f"range [0:{self.num_rows}] (padding rows are not "
+                "addressable)")
+        key = ("update", n, self.quantized)
+        if key not in self._search_cache:
+            self._search_cache[key] = self._make_update_fn()
+        fn = self._search_cache[key]
+        rows = jnp.asarray(np.asarray(embeddings, np.float32))
         if self.quantized:
-            codes, scales = self._quantize(np.asarray(embeddings))
-            self.embeddings = jax.lax.dynamic_update_slice(
-                self.embeddings, jnp.asarray(codes), (start, 0))
-            self.row_scales = jax.lax.dynamic_update_slice(
-                self.row_scales, jnp.asarray(scales), (start,))
-            return
-        arr = jnp.asarray(embeddings, dtype=self.store_dtype)
-        self.embeddings = jax.lax.dynamic_update_slice(
-            self.embeddings, arr, (start, 0))
+            self.embeddings, self.row_scales = fn(
+                self.embeddings, self.row_scales,
+                jnp.asarray(start, jnp.int32), rows)
+        else:
+            self.embeddings = fn(self.embeddings,
+                                 jnp.asarray(start, jnp.int32), rows)
+
+    def _make_update_fn(self) -> Callable:
+        # explicit out_shardings are skipped on 1-device meshes (the same
+        # relay pathology as train-step shardings — steps.sharding_kwargs)
+        multi = self.mesh.size > 1
+        emb_s = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        scale_s = NamedSharding(self.mesh, P(DATA_AXIS))
+
+        if self.quantized:
+            kw = ({"out_shardings": (emb_s, scale_s)} if multi else {})
+
+            def fn(emb, scales, start, rows):
+                s = jnp.maximum(jnp.abs(rows).max(axis=1) / 127.0, 1e-12)
+                codes = jnp.clip(jnp.round(rows / s[:, None]),
+                                 -127, 127).astype(jnp.int8)
+                return (jax.lax.dynamic_update_slice(emb, codes, (start, 0)),
+                        jax.lax.dynamic_update_slice(
+                            scales, s.astype(jnp.float32), (start,)))
+
+            return jax.jit(fn, donate_argnums=(0, 1), **kw)
+
+        kw = ({"out_shardings": emb_s} if multi else {})
+
+        def fn(emb, start, rows):
+            return jax.lax.dynamic_update_slice(
+                emb, rows.astype(emb.dtype), (start, 0))
+
+        return jax.jit(fn, donate_argnums=(0,), **kw)
 
     def _make_search_fn(self, k: int) -> Callable:
         """Raw (jittable) sharded search fn ``(queries, embeddings) ->

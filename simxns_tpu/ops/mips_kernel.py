@@ -47,7 +47,8 @@ import jax
 import jax.numpy as jnp
 
 _NEG = -1e30  # plain float: jnp scalars would be captured consts in-kernel
-NEG_INF = jnp.float32(_NEG)
+NEG_INF = _NEG           # python float (module-level jnp scalars init the
+                         # backend at import -- see ops/topk.py)
 
 # Flip in tests to run under the Pallas interpreter (CPU, exact semantics).
 INTERPRET = False

@@ -27,7 +27,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = -1e30          # python float: a module-level jnp scalar would
+                         # initialize the backend AT IMPORT, breaking the
+                         # launcher's force-CPU path (_setup_platform)
 
 
 def exact_topk(

@@ -44,7 +44,8 @@ import sys
 import numpy as np
 
 from simxns_tpu.config import (
-    AR2RecipeConfig, KDRecipeConfig, MasterPretrainConfig, RECIPES)
+    AlliesRecipeConfig, AR2RecipeConfig, CapstoneRecipeConfig,
+    KDRecipeConfig, LeadRecipeConfig, MasterPretrainConfig, RECIPES)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -69,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--qrels", default=None,
                     help="qrels file (qid\\tpid or TREC 4-col): label mined "
                          "hits by gold ids instead of string match")
+    ap.add_argument("--query-tsv", default=None,
+                    help="doc2query TSV (psg_id\\tq1\\tq2...) for the "
+                         "capstone_curriculum recipe (seq2seq output)")
     ap.add_argument("--synthetic", action="store_true",
                     help="force the synthetic corpus even if --corpus given")
     ap.add_argument("--output-dir", default=None,
@@ -107,7 +111,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _setup_platform(args) -> None:
-    """Pin the backend BEFORE first use (tests/conftest.py recipe)."""
+    """Pin the backend BEFORE first use (tests/conftest.py recipe).
+
+    Guard added after a silent failure: a module-level jnp constant
+    (ops/topk.py NEG_INF, since fixed) initialized the TPU backend during
+    *import*, making the config update below a no-op — every "CPU" launcher
+    run actually ran through the TPU relay. If CPU can't be forced, fail
+    loudly instead of quietly grabbing the chip.
+    """
     if args.tpu:
         return
     flags = os.environ.get("XLA_FLAGS", "")
@@ -121,6 +132,12 @@ def _setup_platform(args) -> None:
         jax.config.update("jax_platform_name", "cpu")
     except RuntimeError:
         pass  # backend already initialized (e.g. under pytest's conftest)
+    platform = jax.devices()[0].platform
+    if platform != "cpu":
+        raise SystemExit(
+            f"could not force the CPU mesh (backend already initialized as "
+            f"{platform!r} before _setup_platform ran — an import touched "
+            "a jax array). Pass --tpu to run on real chips deliberately.")
 
 
 def _bert_cfg(recipe_bert, tiny: bool, vocab: int):
@@ -139,7 +156,7 @@ class _Corpus:
     """
 
     def __init__(self, corpus_ids, query_ids, questions, answers, passages,
-                 vocab_size, sep_id, positive_rows=None):
+                 vocab_size, sep_id, positive_rows=None, tokenizer=None):
         self.corpus_ids = corpus_ids
         self.query_ids = query_ids
         self.questions = questions
@@ -148,6 +165,8 @@ class _Corpus:
         self.vocab_size = vocab_size
         self.sep_id = sep_id
         self.positive_rows = positive_rows
+        self.tokenizer = tokenizer       # set for synthetic corpora (text
+                                         # re-tokenization: capstone/allies)
 
     @property
     def corpus_mask(self):
@@ -253,7 +272,7 @@ def _synthesize(args, data_cfg) -> _Corpus:
         enc = tok.encode(text, max_length=lq)
         query_ids[i, : len(enc)] = enc
     return _Corpus(corpus_ids, query_ids, questions, answers, passages,
-                   vocab_size=2048, sep_id=tok.sep_token_id)
+                   vocab_size=2048, sep_id=tok.sep_token_id, tokenizer=tok)
 
 
 def _get_corpus(args, data_cfg) -> _Corpus:
@@ -313,10 +332,16 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
 
     de_cfg = _bert_cfg(cfg.retriever.bert, tiny, data.vocab_size)
     ce_cfg = _bert_cfg(cfg.reranker.bert, tiny, data.vocab_size)
+    # the RobertaDot-style projection head is for full-size runs only: on
+    # the tiny from-scratch synthetic demo an extra random layer stalls the
+    # short warm-up (measured: warmup top1 0.71 bare vs 0.08 with the head,
+    # LN or not) — the reference never trains RobertaDot from scratch either
+    # (it warms from the adore-star checkpoint, train_MS_Doc_AR2.sh:12)
+    proj = None if tiny else cfg.retriever.projection_dim
     de = BiEncoder(BiEncoderConfig(
         bert=de_cfg, share_weight=cfg.retriever.share_weight,
         pooling=cfg.retriever.pooling,
-        projection_dim=cfg.retriever.projection_dim))
+        projection_dim=proj))
     ce = CrossEncoder(CrossEncoderConfig(
         bert=ce_cfg, binary_head=cfg.reranker.binary_head))
 
@@ -371,7 +396,7 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
             bert=de_cfg.replace(layer_impl="fused_int8"),
             share_weight=cfg.retriever.share_weight,
             pooling=cfg.retriever.pooling,
-            projection_dim=cfg.retriever.projection_dim))
+            projection_dim=proj))
     p_enc = CorpusEncoder(
         lambda p, i, m: enc_model.apply(p, i, m, method="encode_passage"),
         mesh, chunk_size=min(1024, max(64, len(data.corpus_ids) // 4)))
@@ -413,12 +438,19 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
             de_state, wm = warm_de(de_state, shard_batch(b, mesh))
     # the reranker must be a competent teacher before co-training (the
     # reference loads checkpoint-reranker26000); warm it harder
+    ce_warm_steps = 0
     for _ in range(warm_epochs + 20 if tiny else warm_epochs):
         for b in warm_ds.batches(batch_size=batch_size):
             dev = shard_batch({"joint_ids": b["joint_ids"],
                                "joint_mask": b["joint_mask"]}, mesh)
             ce_state, cm = warm_ce(ce_state, dev)
+            ce_warm_steps += 1
+    from simxns_tpu.train.driver import RecallGuard, check_teacher_warmth
+
+    check_teacher_warmth(ce_warm_steps)
+    guard = RecallGuard()
     res = mine(de_state)
+    guard.update(res.top_k_hits[0])
     logger.log(0, {"top1": res.top_k_hits[0],
                    "mrr10": res.metrics.get("MRR_n@_10", 0.0)},
                phase="warmup_eval")
@@ -435,6 +467,7 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     def refresh(state, gstep):
         r = mine(state)
         history.append(r.top_k_hits[0])
+        guard.update(r.top_k_hits[0])      # warns/errors on collapse
         logger.log(gstep, {"top1": r.top_k_hits[0]}, phase="refresh")
         ds = dataset_from(r, gstep)
         if len(ds) < batch_size:
@@ -637,6 +670,408 @@ def run_pretrain(name: str, cfg: MasterPretrainConfig, args) -> dict:
     return out
 
 
+def run_lead(name: str, cfg, args) -> dict:
+    """LEAD joint distillation: warm db + ce single-model stages, then the
+    joint step with layer-score reweighting and periodic layer re-draws.
+
+    Phase structure from ``LEAD/run_LEAD.py:43-276`` with the
+    ``distill_from_12ce_to_6de.sh:40-71`` flag set (--distill_ce --train_ce
+    --distill_db --train_db --distill_ce_db_layer_score
+    --layer_selection_random --layer_score_reweight).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from simxns_tpu.data import from_mining_result
+    from simxns_tpu.index import CorpusEncoder, MIPSIndex, RetrievalEngine
+    from simxns_tpu.io import MetricLogger, save_checkpoint
+    from simxns_tpu.losses.lead import select_layers
+    from simxns_tpu.models import (
+        BiEncoder, BiEncoderConfig, CrossEncoder, CrossEncoderConfig)
+    from simxns_tpu.parallel import create_mesh, shard_batch
+    from simxns_tpu.train import (
+        LeadConfig, TrainState, make_adamw, make_biencoder_step,
+        make_lead_step, make_reranker_step)
+
+    data = _get_corpus(args, cfg.data)
+    tiny = args.tiny_models or (
+        not args.full_size and not (args.corpus and not args.synthetic))
+    mesh = create_mesh()
+    logger = MetricLogger(args.output_dir)
+    steps = args.steps if args.steps is not None else (
+        30 if tiny else cfg.max_steps)
+    batch_size = min(args.batch or cfg.global_batch, len(data.query_ids))
+    negs = min(cfg.data.num_negatives, len(data.corpus_ids) - 1)
+    m = 1 + negs
+    lj = min(cfg.data.max_joint_length,
+             data.query_ids.shape[1] + data.corpus_ids.shape[1] + 1)
+
+    db_cfg = _bert_cfg(cfg.student.bert, tiny, data.vocab_size)
+    ce_cfg = _bert_cfg(cfg.teacher_ce.bert, tiny, data.vocab_size)
+    db = BiEncoder(BiEncoderConfig(bert=db_cfg,
+                                   share_weight=cfg.student.share_weight))
+    ce = CrossEncoder(CrossEncoderConfig(bert=ce_cfg, per_layer_logits=True))
+    db_params = db.init(jax.random.PRNGKey(args.seed),
+                        data.query_ids[:2], data.query_mask[:2],
+                        data.corpus_ids[:2], data.corpus_mask[:2])
+    ce_params = ce.init(jax.random.PRNGKey(args.seed + 1),
+                        np.ones((2, lj), np.int32),
+                        np.ones((2, lj), np.int32))
+    lr = args.lr if args.lr is not None else (
+        1e-3 if tiny else cfg.optim.learning_rate)
+
+    # gold warm dataset (the reference initializes both models from trained
+    # single-model checkpoints, run_LEAD.py DISTILL_CE_PATH/DISTILL_DB_PATH)
+    nq = len(data.query_ids)
+    gold = type("R", (), {
+        "topk_ids": np.stack(
+            [np.r_[i, (np.arange(1, m) + i) % len(data.corpus_ids)]
+             for i in range(nq)]),
+        "topk_scores": np.tile(np.linspace(5, 1, m, dtype=np.float32),
+                               (nq, 1)),
+        "hits": [[j == 0 for j in range(m)] for _ in range(nq)]})()
+    ds = from_mining_result(data.corpus_ids, data.query_ids, gold,
+                            num_negatives=negs, max_joint_length=lj,
+                            sep_id=data.sep_id, seed=args.seed,
+                            simans_mode=None)
+
+    tx_warm = make_adamw(lr, total_steps=0)
+    db_state = TrainState.create(db_params, tx_warm)
+    ce_state = TrainState.create(ce_params, tx_warm)
+    warm_db = make_biencoder_step(db, tx_warm, mesh, grad_mode="full")
+    warm_ce = make_reranker_step(ce, tx_warm, mesh, group_size=m)
+    warm_epochs = 30 if tiny else max(1, steps // 10)
+    for _ in range(warm_epochs):
+        for b in ds.batches(batch_size=batch_size, with_joint=False):
+            db_state, _ = warm_db(db_state, shard_batch(b, mesh))
+    for _ in range(warm_epochs):
+        for b in ds.batches(batch_size=batch_size):
+            dev = shard_batch({"joint_ids": b["joint_ids"],
+                               "joint_mask": b["joint_mask"]}, mesh)
+            ce_state, _ = warm_ce(ce_state, dev)
+
+    # joint phase: fresh per-model optimizers on the recipe schedule
+    warmup = int(cfg.warmup_ratio * steps)
+    tx_db = make_adamw(lr * (0.1 if tiny else 1.0), warmup_steps=warmup,
+                       total_steps=steps)
+    tx_ce = make_adamw(lr * (0.1 if tiny else 1.0), warmup_steps=warmup,
+                       total_steps=steps)
+    states = {"db": TrainState.create(db_state.params, tx_db),
+              "ce": TrainState.create(ce_state.params, tx_ce)}
+    lead_cfg = LeadConfig(
+        distill_db=True, distill_ce=True, train_db=True, train_ce=True,
+        layer_score=True, reweight=cfg.reweight,
+        temperature=cfg.temperature,
+        layer_temperature=cfg.layer_temperature)
+    k = min(cfg.num_distill_layers, db_cfg.num_layers, ce_cfg.num_layers)
+    step = make_lead_step({"db": db, "ce": ce},
+                          {"db": tx_db, "ce": tx_ce}, mesh, lead_cfg,
+                          num_distill_layers=k)
+    rng = np.random.default_rng(args.seed)
+    sel_s, sel_t = select_layers(rng, db_cfg.num_layers, ce_cfg.num_layers,
+                                 k, cfg.layer_selection)
+    done, last = 0, float("nan")
+    while done < steps:
+        for b in ds.batches(batch_size=batch_size):
+            if done % cfg.save_steps == 0 and done > 0:
+                # layer re-draw (run_LEAD.py:260) — traced, no recompile
+                sel_s, sel_t = select_layers(
+                    rng, db_cfg.num_layers, ce_cfg.num_layers, k,
+                    cfg.layer_selection)
+            states, metrics = step(states, shard_batch(b, mesh),
+                                   jnp.asarray(sel_s, jnp.int32),
+                                   jnp.asarray(sel_t, jnp.int32))
+            done += 1
+            last = float(metrics["loss"])
+            if done % max(1, steps // 10) == 0:
+                logger.log(done, {"loss": last}, phase="lead")
+            if done >= steps:
+                break
+
+    # final: retrieval eval with the distilled student
+    index = MIPSIndex(mesh, block_size=min(
+        8192, max(32, len(data.corpus_ids) // 4)))
+    engine = RetrievalEngine(index, data.passages, logger=logger)
+    p_enc = CorpusEncoder(
+        lambda p, i, msk: db.apply(p, i, msk, method="encode_passage"),
+        mesh, chunk_size=min(1024, max(64, len(data.corpus_ids) // 4)))
+    q_enc = CorpusEncoder(
+        lambda p, i, msk: db.apply(p, i, msk, method="encode_query"),
+        mesh, chunk_size=min(1024, max(64, nq)))
+    index.build(p_enc(states["db"].params, data.corpus_ids,
+                      data.corpus_mask))
+    res = engine.mine(q_enc(states["db"].params, data.query_ids,
+                            data.query_mask),
+                      data.questions, data.answers,
+                      k=min(args.topk or 10, len(data.corpus_ids)),
+                      positive_ids=data.positive_rows)
+    out = {"recipe": name, "steps": done, "final_loss": last,
+           "top1": res.top_k_hits[0],
+           "mrr10": res.metrics.get("MRR_n@_10", 0.0)}
+    if args.output_dir:
+        save_checkpoint(args.output_dir, {"params": states["db"].params},
+                        done, name="student")
+        save_checkpoint(args.output_dir, {"params": states["ce"].params},
+                        done, name="teacher_ce")
+        with open(os.path.join(args.output_dir, "eval.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    print(f"[{name}] joint-distilled {done} steps, loss={last:.4f} "
+          f"top1={out['top1']:.3f}")
+    return out
+
+
+def run_capstone(name: str, cfg, args) -> dict:
+    """CAPSTONE curriculum DE training over doc2query-expanded passages.
+
+    Faithful to ``CAPSTONE/models/run_de_model_ernie.py:56-396``: every
+    positive/negative passage is expanded with one generated query chosen
+    by the gradual curriculum (least -> most gold-similar as training
+    progresses); at eval the corpus is expanded with the top-k queries.
+    Generated queries come from ``--query-tsv`` (``psg_id\\tq1\\tq2...``,
+    the docT5query output — ``models/seq2seq.queries_to_tsv``); the
+    synthetic fallback fabricates per-passage queries.
+    """
+    import jax
+
+    from simxns_tpu.data.curriculum import QueryExpander, gradual_bucket
+    from simxns_tpu.index import CorpusEncoder, MIPSIndex, RetrievalEngine
+    from simxns_tpu.io import MetricLogger, save_checkpoint
+    from simxns_tpu.models import BiEncoder, BiEncoderConfig
+    from simxns_tpu.parallel import create_mesh, shard_batch
+    from simxns_tpu.train import TrainState, make_adamw, make_biencoder_step
+
+    data = _get_corpus(args, cfg.data)
+    if data.tokenizer is None:
+        raise SystemExit(
+            "capstone_curriculum re-tokenizes expanded passage text per "
+            "batch; prepared token-only corpora are not supported — run "
+            "--synthetic, or extend _load_prepared with a text corpus + "
+            "tokenizer")
+    tok = data.tokenizer
+    tiny = not args.full_size
+    mesh = create_mesh()
+    logger = MetricLogger(args.output_dir)
+    steps = args.steps if args.steps is not None else (
+        40 if tiny else cfg.max_steps)
+    batch_size = min(args.batch or cfg.global_batch, len(data.query_ids))
+    negs = min(cfg.data.num_negatives, 3 if tiny else 10**9,
+               len(data.corpus_ids) - 1)
+    m = 1 + negs
+    lc = data.corpus_ids.shape[1]
+
+    if args.query_tsv:
+        expander = QueryExpander.from_tsv(
+            args.query_tsv, total_part=cfg.total_part,
+            delimiter=" [SEP] " if cfg.delimiter == "sep" else " ")
+    else:
+        # synthetic doc2query output: per-passage queries of varying
+        # gold-similarity so the curriculum has something to order
+        queries = {
+            i: [f"document {i} fact{i}",          # near-gold
+                f"what does document {i} say",    # mid
+                f"unrelated noise {i * 7 % 97}"]  # far
+            for i in range(len(data.corpus_ids))}
+        expander = QueryExpander(
+            queries=queries, total_part=cfg.total_part,
+            delimiter=" [SEP] " if cfg.delimiter == "sep" else " ")
+
+    bert = _bert_cfg(cfg.retriever.bert, tiny, data.vocab_size)
+    model = BiEncoder(BiEncoderConfig(
+        bert=bert, share_weight=cfg.retriever.share_weight,
+        pooling=cfg.retriever.pooling))
+    params = model.init(jax.random.PRNGKey(args.seed),
+                        data.query_ids[:2], data.query_mask[:2],
+                        data.corpus_ids[:2], data.corpus_mask[:2])
+    lr = args.lr if args.lr is not None else (
+        3e-3 if tiny else cfg.optim.learning_rate)
+    tx = make_adamw(lr, warmup_steps=min(cfg.optim.warmup_steps, steps // 4),
+                    total_steps=steps)
+    state = TrainState.create(params, tx)
+    step = make_biencoder_step(model, tx, mesh, grad_mode="full")
+
+    rng = np.random.default_rng(args.seed)
+    nq = len(data.query_ids)
+
+    def expanded_ctx_row(row: int, question: str, bucket: int,
+                         gold_prob: float) -> np.ndarray:
+        text, title = data.passages.get(row, ("", ""))
+        mode = (f"{max(bucket, 1)}-part" if bucket > 0 else "first")
+        q_sel = (question if bucket == 0
+                 else expander.select_query(row, question, mode, rng,
+                                            gold_query_prob=gold_prob))
+        body = expander.expand_passage(text, q_sel)
+        enc = tok.encode(title, text_pair=body, max_length=lc)
+        out = np.zeros((lc,), np.int32)
+        out[: len(enc)] = enc
+        return out
+
+    last = float("nan")
+    for it in range(steps):
+        bucket, gold_prob = gradual_bucket(
+            it, steps, cfg.total_part, cfg.select_generated_query)
+        q_idx = rng.choice(nq, size=batch_size, replace=False) \
+            if nq >= batch_size else rng.integers(0, nq, size=batch_size)
+        ctx_ids = np.zeros((batch_size * m, lc), np.int32)
+        for bi, qi in enumerate(q_idx):
+            neg_rows = [(int(qi) + 1 + int(r)) % len(data.corpus_ids)
+                        for r in rng.choice(len(data.corpus_ids) - 1,
+                                            size=negs, replace=False)]
+            for j, row in enumerate([int(qi)] + neg_rows):
+                ctx_ids[bi * m + j] = expanded_ctx_row(
+                    row, data.questions[qi], bucket, gold_prob)
+        q = data.query_ids[q_idx]
+        batch = {
+            "q_ids": q, "q_mask": (q != 0).astype(np.int32),
+            "ctx_ids": ctx_ids,
+            "ctx_mask": (ctx_ids != 0).astype(np.int32),
+            "positive_idx": (np.arange(batch_size) * m).astype(np.int32),
+        }
+        state, metrics = step(state, shard_batch(batch, mesh))
+        last = float(metrics["loss"])
+        if (it + 1) % max(1, steps // 10) == 0:
+            logger.log(it + 1, {"loss": last, "bucket": bucket},
+                       phase="curriculum")
+
+    # eval over the top-k-query expanded corpus
+    # (run_de_model_expand_corpus_cocondenser.sh:44-60 --top_k_query)
+    exp_corpus = np.zeros_like(data.corpus_ids)
+    for i in range(len(data.corpus_ids)):
+        text, title = data.passages.get(i, ("", ""))
+        body = expander.expand_corpus_entry(i, text, cfg.top_k_query)
+        enc = tok.encode(title, text_pair=body, max_length=lc)
+        exp_corpus[i, : len(enc)] = enc
+    index = MIPSIndex(mesh, block_size=min(
+        8192, max(32, len(data.corpus_ids) // 4)))
+    engine = RetrievalEngine(index, data.passages, logger=logger)
+    p_enc = CorpusEncoder(
+        lambda p, i, msk: model.apply(p, i, msk, method="encode_passage"),
+        mesh, chunk_size=min(1024, max(64, len(data.corpus_ids) // 4)))
+    q_enc = CorpusEncoder(
+        lambda p, i, msk: model.apply(p, i, msk, method="encode_query"),
+        mesh, chunk_size=min(1024, max(64, nq)))
+    index.build(p_enc(state.params, exp_corpus,
+                      (exp_corpus != 0).astype(np.int32)))
+    res = engine.mine(q_enc(state.params, data.query_ids, data.query_mask),
+                      data.questions, data.answers,
+                      k=min(args.topk or 10, len(data.corpus_ids)),
+                      positive_ids=data.positive_rows)
+    out = {"recipe": name, "steps": steps, "final_loss": last,
+           "top1": res.top_k_hits[0],
+           "mrr10": res.metrics.get("MRR_n@_10", 0.0)}
+    if args.output_dir:
+        save_checkpoint(args.output_dir, {"params": state.params}, steps,
+                        name="retriever")
+        with open(os.path.join(args.output_dir, "eval.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    print(f"[{name}] curriculum-trained {steps} steps, "
+          f"top1={out['top1']:.3f}")
+    return out
+
+
+def run_allies(name: str, cfg, args) -> dict:
+    """ALLIES beam-search QA over a trained retriever + (scripted) LLM.
+
+    Mirrors ``ALLIES/main.py:11-160``: per-question beam search with
+    retrieval-grounded answering and EM/F1 scoring. The LLM is the
+    deterministic :class:`simxns_tpu.allies.EvidenceLLM` (no network in
+    this image); inject a real client for production.
+    """
+    import jax
+
+    from simxns_tpu.allies import (
+        ALLIESConfig, EvidenceLLM, allies_answer, exact_match, f1_score)
+    from simxns_tpu.index import CorpusEncoder, MIPSIndex
+    from simxns_tpu.io import MetricLogger
+    from simxns_tpu.models import BiEncoder, BiEncoderConfig
+    from simxns_tpu.parallel import create_mesh, shard_batch
+    from simxns_tpu.train import TrainState, make_adamw, make_biencoder_step
+    from simxns_tpu.data import from_mining_result
+
+    from simxns_tpu.config import DataConfig
+
+    data = _get_corpus(args, DataConfig())
+    if data.tokenizer is None:
+        raise SystemExit("allies_qa needs a text corpus with a tokenizer; "
+                         "run --synthetic")
+    tok = data.tokenizer
+    mesh = create_mesh()
+    logger = MetricLogger(args.output_dir)
+    lq = data.query_ids.shape[1]
+
+    # warm a tiny retriever on the gold pairs (the reference loads a
+    # finetuned DPR checkpoint + 60GB of precomputed embeddings)
+    bert = _bert_cfg(None, True, data.vocab_size)
+    model = BiEncoder(BiEncoderConfig(bert=bert))
+    params = model.init(jax.random.PRNGKey(args.seed),
+                        data.query_ids[:2], data.query_mask[:2],
+                        data.corpus_ids[:2], data.corpus_mask[:2])
+    tx = make_adamw(3e-3, total_steps=0)
+    state = TrainState.create(params, tx)
+    step = make_biencoder_step(model, tx, mesh, grad_mode="full")
+    nq = len(data.query_ids)
+    m = 2
+    gold = type("R", (), {
+        "topk_ids": np.stack(
+            [np.r_[i, [(i + 1) % len(data.corpus_ids)]]
+             for i in range(nq)]),
+        "topk_scores": np.tile(np.asarray([5.0, 1.0], np.float32), (nq, 1)),
+        "hits": [[True, False] for _ in range(nq)]})()
+    ds = from_mining_result(data.corpus_ids, data.query_ids, gold,
+                            num_negatives=1, sep_id=data.sep_id,
+                            seed=args.seed, simans_mode=None)
+    batch_size = min(args.batch or 16, nq)
+    for _ in range(30):
+        for b in ds.batches(batch_size=batch_size, with_joint=False):
+            state, _ = step(state, shard_batch(b, mesh))
+
+    index = MIPSIndex(mesh, block_size=min(
+        8192, max(32, len(data.corpus_ids) // 4)))
+    p_enc = CorpusEncoder(
+        lambda p, i, msk: model.apply(p, i, msk, method="encode_passage"),
+        mesh, chunk_size=min(1024, max(64, len(data.corpus_ids) // 4)))
+    index.build(p_enc(state.params, data.corpus_ids, data.corpus_mask))
+
+    q_encode = jax.jit(
+        lambda p, i, msk: model.apply(p, i, msk, method="encode_query"))
+
+    def retrieve(question: str, k: int):
+        enc = tok.encode(question, max_length=lq)
+        ids = np.zeros((1, lq), np.int32)
+        ids[0, : len(enc)] = enc
+        emb = np.asarray(q_encode(state.params, ids,
+                                  (ids != 0).astype(np.int32)), np.float32)
+        _, top = index.search(emb, min(k, len(data.corpus_ids)),
+                              query_batch=8)
+        return [data.passages.get(int(p), ("", ""))[0] for p in top[0]]
+
+    llm = EvidenceLLM()
+    allies_cfg = ALLIESConfig(
+        beam_size=cfg.beam_size, beam_depth=cfg.beam_depth,
+        threshold=cfg.threshold, top_k=cfg.topk,
+        retrieval_type=cfg.retrieval_type, summarize=cfg.summarize)
+    n_eval = min(len(data.questions),
+                 args.steps if args.steps is not None else 16)
+    ems, f1s, api_calls, retrievals = [], [], 0, 0
+    for qi in range(n_eval):
+        answer, _, counters = allies_answer(
+            data.questions[qi], llm, allies_cfg, retrieve)
+        ems.append(exact_match(answer, data.answers[qi]))
+        f1s.append(f1_score(answer, data.answers[qi]))
+        api_calls += counters["api_calls"]
+        retrievals += counters["retrievals"]
+    out = {"recipe": name, "questions": n_eval,
+           "em": float(np.mean(ems)), "f1": float(np.mean(f1s)),
+           "api_calls_per_q": api_calls / max(n_eval, 1),
+           "retrievals_per_q": retrievals / max(n_eval, 1)}
+    if args.output_dir:
+        with open(os.path.join(args.output_dir, "eval.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    logger.log(n_eval, {"em": out["em"], "f1": out["f1"]}, phase="allies")
+    print(f"[{name}] {n_eval} questions: EM={out['em']:.3f} "
+          f"F1={out['f1']:.3f}")
+    return out
+
+
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     _setup_platform(args)
@@ -649,6 +1084,12 @@ def main(argv=None) -> dict:
         return run_kd(args.recipe, cfg, args)
     if isinstance(cfg, MasterPretrainConfig):
         return run_pretrain(args.recipe, cfg, args)
+    if isinstance(cfg, LeadRecipeConfig):
+        return run_lead(args.recipe, cfg, args)
+    if isinstance(cfg, CapstoneRecipeConfig):
+        return run_capstone(args.recipe, cfg, args)
+    if isinstance(cfg, AlliesRecipeConfig):
+        return run_allies(args.recipe, cfg, args)
     raise SystemExit(f"recipe {args.recipe} has no runner")
 
 

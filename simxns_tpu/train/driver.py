@@ -41,6 +41,79 @@ def _device_batch(batch: Dict, mesh):
     return shard_batch({k: v for k, v in batch.items() if k != "answers"}, mesh)
 
 
+MIN_TEACHER_WARM_STEPS = 48
+
+
+def check_teacher_warmth(ce_warm_steps: int,
+                         min_steps: int = MIN_TEACHER_WARM_STEPS) -> bool:
+    """Warn when the CE teacher is too cold to distill from.
+
+    AR2's retriever step is a KL toward the reranker's distribution; an
+    undertrained teacher actively DESTROYS the retriever. Measured (round
+    2, CPU smoke, bench_r2_results.jsonl): 8 CE warm steps -> recall@1
+    0.30 -> 0.00 within one 20-step KL window; >= ~48 teacher steps trains
+    stably. The reference sidesteps this by loading a finetuned
+    ``checkpoint-reranker26000`` before co-training
+    (``co_training_wiki_train.py:138-147``). Returns False (and warns) when
+    under the measured floor.
+    """
+    if ce_warm_steps >= min_steps:
+        return True
+    logger.warning(
+        "CE teacher warmed for only %d steps (< %d, the measured adequacy "
+        "floor): AR2's KL-to-reranker can collapse the retriever. Warm the "
+        "reranker longer or load a finetuned checkpoint (the reference "
+        "loads checkpoint-reranker26000).", ce_warm_steps, min_steps)
+    return False
+
+
+class RecallGuard:
+    """Watch the co-training recall trajectory; make collapse loud.
+
+    Co-training should never end below its starting recall — when it does,
+    the almost-always cause is a cold CE teacher (see
+    :func:`check_teacher_warmth`). ``update`` warns on the first reading
+    below ``warn_ratio * start`` and returns False (collapse) below
+    ``collapse_ratio * start``; ``ok()`` is the end-of-run assertion.
+    """
+
+    def __init__(self, warn_ratio: float = 0.8, collapse_ratio: float = 0.5):
+        self.warn_ratio = warn_ratio
+        self.collapse_ratio = collapse_ratio
+        self.trajectory: List[float] = []
+        self._warned = False
+
+    @property
+    def start(self) -> Optional[float]:
+        return self.trajectory[0] if self.trajectory else None
+
+    def update(self, recall: float) -> bool:
+        self.trajectory.append(float(recall))
+        start = self.trajectory[0]
+        if start <= 0:
+            return True
+        if recall < self.collapse_ratio * start:
+            logger.error(
+                "co-training recall COLLAPSED: %.3f -> %.3f (trajectory "
+                "%s). Likely cause: undertrained CE teacher (see "
+                "check_teacher_warmth).", start, recall,
+                [round(r, 3) for r in self.trajectory])
+            return False
+        if not self._warned and recall < self.warn_ratio * start:
+            self._warned = True
+            logger.warning(
+                "co-training recall dropping: %.3f -> %.3f; watch the "
+                "trajectory (collapse threshold %.3f).", start, recall,
+                self.collapse_ratio * start)
+        return True
+
+    def ok(self) -> bool:
+        """End-of-run check: final recall must not sit below the start."""
+        if len(self.trajectory) < 2 or self.trajectory[0] <= 0:
+            return True
+        return self.trajectory[-1] >= self.trajectory[0]
+
+
 class AR2CoTrainer:
     """Alternating retriever/reranker trainer with periodic mining.
 

@@ -188,3 +188,52 @@ def test_index_update_rows_incremental():
     index._search_cache.clear()   # shapes unchanged; clear for cleanliness
     _, ids1 = index.search(q, 1)
     assert int(ids1[0, 0]) in range(8)   # an updated row now wins
+
+
+def test_index_update_rows_int8_and_bounds():
+    """Round-3 rework: device-side quantized update matches a full rebuild;
+    out-of-range starts (incl. the padding region) are rejected."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(13)
+    n, h = 60, 16                      # 60 rows -> padded beyond num_rows
+    corpus = rng.standard_normal((n, h), dtype=np.float32)
+    index = MIPSIndex(mesh, block_size=8, store_dtype=jnp.int8)
+    index.build(corpus)
+    new_rows = rng.standard_normal((8, h), dtype=np.float32)
+    index.update_rows(16, new_rows)
+    # oracle: rebuild from the edited corpus
+    edited = corpus.copy()
+    edited[16:24] = new_rows
+    oracle = MIPSIndex(mesh, block_size=8, store_dtype=jnp.int8)
+    oracle.build(edited)
+    q = rng.standard_normal((4, h), dtype=np.float32)
+    s1, i1 = index.search(q, 5)
+    s2, i2 = oracle.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+    # repeated update at a different offset: same compiled fn (shape-cached)
+    n_cached = len(index._search_cache)
+    index.update_rows(32, new_rows)
+    assert len(index._search_cache) == n_cached
+    with pytest.raises(ValueError, match="outside the live row range"):
+        index.update_rows(56, new_rows)      # 56+8 > 60 (padding rows)
+    with pytest.raises(ValueError, match="outside the live row range"):
+        index.update_rows(-1, new_rows)
+
+
+def test_index_update_rows_matches_rebuild_bf16():
+    mesh = create_mesh()
+    rng = np.random.default_rng(14)
+    corpus = rng.standard_normal((64, 16), dtype=np.float32)
+    index = MIPSIndex(mesh, block_size=8, store_dtype=jnp.float32)
+    index.build(corpus)
+    new_rows = rng.standard_normal((8, 16), dtype=np.float32)
+    index.update_rows(40, new_rows)
+    edited = corpus.copy()
+    edited[40:48] = new_rows
+    oracle = MIPSIndex(mesh, block_size=8, store_dtype=jnp.float32)
+    oracle.build(edited)
+    q = rng.standard_normal((4, 16), dtype=np.float32)
+    _, i1 = index.search(q, 5)
+    _, i2 = oracle.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)

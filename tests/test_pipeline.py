@@ -1,3 +1,8 @@
+import pytest
+
+# whole-module: multi-minute trainer e2e runs
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

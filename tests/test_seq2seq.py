@@ -2,6 +2,7 @@
 (``CAPSTONE/models/generate_query.py:115-235``) rebuilt natively."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -51,6 +52,7 @@ def test_lm_loss_ignores_pad():
         float(seq2seq_lm_loss(logits, labels, mask)), np.log(5), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_then_greedy_generate_recovers_mapping(tmp_path):
     """Overfit passage->query pairs, then top_k=1 generation reproduces the
     trained queries — the full docT5query capability on synthetic vocab."""
