@@ -1,0 +1,365 @@
+"""Round-3 measurement battery: the TRAIN path + the composed iteration.
+
+VERDICT r2 next-round #1: "measure — then speed — the full AR2 iteration
+envelope on-chip" with the train share as the frontier (isolated r2 number:
+batch-512 contrastive = 656 ms/step = 780 ex/s/chip ~= 32% MFU), and #2's
+reproducibility discipline (medians, spreads, one process per stage — the
+r2 in-bench train stage read 3x worse than isolated in the same process).
+
+    python scripts/bench_r3.py train       # step-variant A/B battery
+    python scripts/bench_r3.py ar2         # AR2 retriever step (recipe shape)
+    python scripts/bench_r3.py ce          # grouped reranker step
+    python scripts/bench_r3.py envelope    # 2000-step + 8.8M-mine composition
+    python scripts/bench_r3.py rerank      # CE rerank S=192 fused vs XLA
+
+Each stage appends one JSON line to bench_r3_results.jsonl. Run stages in
+SEPARATE processes (one TPU process at a time on this relay).
+
+Timing discipline (CLAUDE.md): warm 2 calls, time K calls in one async
+burst, force with np.asarray of a device output — never block_until_ready.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+
+PEAK_BF16 = 197e12
+RESULTS = "/root/repo/bench_r3_results.jsonl"
+SMOKE = False  # set by --cpu: tiny shapes, flow-check only
+
+
+def emit(rec):
+    rec = {"ts": round(time.time(), 1), **rec}
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print("RESULT", json.dumps(rec), flush=True)
+
+
+def bert_flops(tokens, s_attn_tokens, L=12, H=768, F=3072, S=128):
+    """fwd FLOPs: per-token GEMMs + attention score/value matmuls."""
+    per_tok = L * 2 * (4 * H * H + 2 * H * F)
+    attn = L * 2 * 2 * S * S * H  # per sequence pair of matmuls
+    return tokens * per_tok + s_attn_tokens * attn
+
+
+def _train_batch(rng, nq=512, lq=32, lc=128, vocab=30000):
+    q = rng.integers(5, vocab, size=(nq, lq)).astype(np.int32)
+    c = rng.integers(5, vocab, size=(nq, lc)).astype(np.int32)
+    return {
+        "q_ids": q, "q_mask": np.ones_like(q),
+        "ctx_ids": c, "ctx_mask": np.ones_like(c),
+        "positive_idx": np.arange(nq, dtype=np.int32),
+    }
+
+
+def _time_steps(step, state, extra, batch, k=8, warm=2):
+    """Median ms/step over k timed steps (after warm), forced transfer."""
+    import jax
+
+    for _ in range(warm):
+        state, m = step(state, *extra, batch)
+    np.asarray(m["loss"])
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(k):
+            state, m = step(state, *extra, batch)
+        np.asarray(m["loss"])                  # force the whole burst
+        times.append((time.time() - t0) / k)
+    return float(np.median(times)) * 1000, state
+
+
+def stage_train(args):
+    """Batch-512 in-batch contrastive step: remat/policy/ffn variants."""
+    import jax
+    import jax.numpy as jnp
+
+    from simxns_tpu.models import BiEncoder, BiEncoderConfig, BertConfig
+    from simxns_tpu.parallel import create_mesh, shard_batch
+    from simxns_tpu.train import TrainState, make_adamw, make_biencoder_step
+
+    mesh = create_mesh()
+    rng = np.random.default_rng(0)
+    nq = args.batch
+    batch = _train_batch(rng, nq=nq)
+    variants = {
+        "remat": dict(remat=True),
+        "dots": dict(remat=True, remat_policy="dots"),
+        "noremat": dict(remat=False),
+        "remat_fusedffn": dict(remat=True, ffn_impl="fused"),
+        "dots_fusedffn": dict(remat=True, remat_policy="dots",
+                              ffn_impl="fused"),
+    }
+    sel = args.variants.split(",") if args.variants else list(variants)
+    fwd_flops = bert_flops(nq * (32 + 128), 2 * nq)
+    out = {}
+    for name in sel:
+        kw = variants[name]
+        cfg = (BertConfig.tiny(vocab_size=30522).replace(**kw) if SMOKE
+               else BertConfig(dtype=jnp.bfloat16, **kw))
+        model = BiEncoder(BiEncoderConfig(bert=cfg))
+        params = model.init(jax.random.PRNGKey(0), batch["q_ids"][:2],
+                            batch["q_mask"][:2], batch["ctx_ids"][:2],
+                            batch["ctx_mask"][:2])
+        tx = make_adamw(1e-5, total_steps=0)
+        state = TrainState.create(params, tx)
+        step = make_biencoder_step(model, tx, mesh, grad_mode="full")
+        dev = shard_batch(batch, mesh)
+        try:
+            ms, state = _time_steps(step, state, (), dev, k=args.k)
+            mfu3 = 3 * fwd_flops / (ms / 1000) / PEAK_BF16
+            out[name] = {"ms_per_step": round(ms, 1),
+                         "ex_per_s": round(nq / (ms / 1000), 1),
+                         "mfu_3x": round(mfu3, 4)}
+            print(f"  {name}: {ms:.1f} ms/step, {nq / (ms / 1000):.0f} ex/s,"
+                  f" MFU(3x fwd) {mfu3:.3f}", flush=True)
+        except Exception as e:  # OOM etc.: record the null
+            out[name] = {"error": str(e)[:200]}
+            print(f"  {name}: FAILED {str(e)[:120]}", flush=True)
+        del state, step, params
+    emit({"stage": "train_battery", "batch": nq, "variants": out})
+
+
+def stage_ar2(args):
+    """AR2 retriever step at the recipe working shape (B=64, 1+15 negs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from simxns_tpu.models import (
+        BiEncoder, BiEncoderConfig, BertConfig, CrossEncoder,
+        CrossEncoderConfig)
+    from simxns_tpu.parallel import create_mesh, shard_batch
+    from simxns_tpu.train import (
+        TrainState, make_adamw, make_ar2_retriever_step)
+
+    mesh = create_mesh()
+    rng = np.random.default_rng(0)
+    n, m, lq, lc, lj = ((8, 4, 16, 32, 48) if SMOKE else
+                        (64, 16, 32, 128, 160))
+    q = rng.integers(5, 30000, size=(n, lq)).astype(np.int32)
+    c = rng.integers(5, 30000, size=(n * m, lc)).astype(np.int32)
+    j = rng.integers(5, 30000, size=(n, m, lj)).astype(np.int32)
+    batch = {"q_ids": q, "q_mask": np.ones_like(q),
+             "ctx_ids": c, "ctx_mask": np.ones_like(c),
+             "joint_ids": j, "joint_mask": np.ones_like(j)}
+    de_kw = {"remat": True}
+    if args.variants and "dots" in args.variants:
+        de_kw["remat_policy"] = "dots"
+    de_cfg = (BertConfig.tiny(vocab_size=30522) if SMOKE
+              else BertConfig(dtype=jnp.bfloat16, **de_kw))
+    if SMOKE:
+        ce_cfg = BertConfig.tiny(vocab_size=30522)
+    else:
+        ce_cfg = BertConfig(num_layers=24, hidden_size=1024, num_heads=16,
+                            intermediate_size=4096, dtype=jnp.bfloat16,
+                            remat=True)
+    de = BiEncoder(BiEncoderConfig(bert=de_cfg))
+    ce = CrossEncoder(CrossEncoderConfig(bert=ce_cfg))
+    de_p = de.init(jax.random.PRNGKey(0), q[:2], batch["q_mask"][:2],
+                   c[:2], batch["ctx_mask"][:2])
+    ce_p = ce.init(jax.random.PRNGKey(1), j.reshape(n * m, lj)[:2],
+                   np.ones((2, lj), np.int32))
+    tx = make_adamw(1e-5, total_steps=0)
+    state = TrainState.create(de_p, tx)
+    step = make_ar2_retriever_step(de, ce, tx, mesh, adv_lambda=0.0)
+    dev = shard_batch(batch, mesh)
+    import jax as _jax
+    ce_p = _jax.device_put(ce_p)
+    ms, state = _time_steps(step, state, (ce_p,), dev, k=args.k)
+    # flops: DE fwd+bwd (3x) over q+ctx tokens + frozen CE-large fwd (1x)
+    de_fwd = bert_flops(n * lq + n * m * lc, n + n * m)
+    ce_fwd = bert_flops(n * m * lj, n * m, L=24, H=1024, F=4096, S=lj)
+    mfu = (3 * de_fwd + ce_fwd) / (ms / 1000) / PEAK_BF16
+    emit({"stage": "ar2_step", "shape": [n, m, lq, lc, lj],
+          "variant": args.variants or "remat",
+          "ms_per_step": round(ms, 1),
+          "q_per_s": round(n / (ms / 1000), 1), "mfu": round(mfu, 4)})
+
+
+def stage_ce(args):
+    """Grouped reranker (CE-large) step at recipe shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from simxns_tpu.models import BertConfig, CrossEncoder, CrossEncoderConfig
+    from simxns_tpu.parallel import create_mesh, shard_batch
+    from simxns_tpu.train import TrainState, make_adamw, make_reranker_step
+
+    mesh = create_mesh()
+    rng = np.random.default_rng(0)
+    n, m, lj = (8, 4, 48) if SMOKE else (64, 16, 160)
+    j = rng.integers(5, 30000, size=(n, m, lj)).astype(np.int32)
+    batch = {"joint_ids": j, "joint_mask": np.ones_like(j)}
+    kw = {"remat": True}
+    if args.variants and "dots" in args.variants:
+        kw["remat_policy"] = "dots"
+    if SMOKE:
+        cfg = BertConfig.tiny(vocab_size=30522)
+    else:
+        cfg = BertConfig(num_layers=24, hidden_size=1024, num_heads=16,
+                         intermediate_size=4096, dtype=jnp.bfloat16, **kw)
+    ce = CrossEncoder(CrossEncoderConfig(bert=cfg))
+    p = ce.init(jax.random.PRNGKey(0), j.reshape(n * m, lj)[:2],
+                np.ones((2, lj), np.int32))
+    tx = make_adamw(1e-6, total_steps=0)
+    state = TrainState.create(p, tx)
+    step = make_reranker_step(ce, tx, mesh, group_size=m)
+    dev = shard_batch(batch, mesh)
+    ms, state = _time_steps(step, state, (), dev, k=args.k)
+    fwd = bert_flops(n * m * lj, n * m, L=24, H=1024, F=4096, S=lj)
+    emit({"stage": "ce_step", "shape": [n, m, lj],
+          "variant": args.variants or "remat",
+          "ms_per_step": round(ms, 1),
+          "mfu": round(3 * fwd / (ms / 1000) / PEAK_BF16, 4)})
+
+
+def stage_envelope(args):
+    """The composed AR2 iteration: 2000 recipe train steps + one 8.8M mine.
+
+    The only end-to-end number the 2x north star can be judged on
+    (SimANS/train_NQ_AR2.sh iteration structure; mine anchor = the
+    reference's 'Evaluation 3h' = 8.8M/8 A100s/3h ~= 102 p/s/A100).
+    Train steps are measured live (steady-state); the mine side reuses
+    bench.py's measured composition at the same working point.
+    """
+    import subprocess
+
+    # 1) steady-state AR2-iteration step times, own process each
+    env = dict(os.environ)
+    de_ms = ce_ms = None
+    for stage, var in (("ar2", args.variants), ("ce", args.variants)):
+        cmd = [sys.executable, __file__, stage, "--k", str(args.k)]
+        if var:
+            cmd += ["--variants", var]
+        subprocess.run(cmd, check=True, env=env)
+    with open(RESULTS) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("stage") == "ar2_step":
+                de_ms = rec["ms_per_step"]
+            if rec.get("stage") == "ce_step":
+                ce_ms = rec["ms_per_step"]
+    # 2) the mine phase at the 8.8M working point (bench.py, own process)
+    out = subprocess.run([sys.executable, "/root/repo/bench.py"],
+                         capture_output=True, text=True, env=env)
+    mine = json.loads(out.stdout.strip().splitlines()[-1])
+    mine_s = 8_800_000 / (mine["value"])       # per chip
+    # reference window: 2000 steps, 500 of them reranker
+    #   (train_NQ_AR2.sh iteration_step=2000, iteration_reranker_step=500)
+    train_s = (1500 * de_ms + 500 * ce_ms) / 1000
+    total_s = train_s + mine_s
+    # A100 anchor: mine 3h/8.8M on 8 GPUs -> per-chip-equivalent 3h; train
+    # side has NO published number (BASELINE.md) — compare mine-only and
+    # report the train split on its own terms.
+    emit({"stage": "iteration_envelope",
+          "variant": args.variants or "remat",
+          "de_step_ms": de_ms, "ce_step_ms": ce_ms,
+          "train_window_s": round(train_s, 1),
+          "mine_s_per_chip": round(mine_s, 1),
+          "iteration_wall_clock_s": round(total_s, 1),
+          "train_share": round(train_s / total_s, 3),
+          "mine_vs_a100_ratio": mine["vs_baseline"],
+          "bench_value": mine["value"]})
+
+
+def stage_rerank(args):
+    """CE rerank forward at S=192: whole-layer fused int8 vs XLA bf16.
+
+    VERDICT r2 #6: CE forward dominates reranker eval ('this step will
+    take a lot of time', PROD/README.md:345). B joint rows of S=192
+    through a 12-layer CE; p/s for both impls + CLS-score cosine check.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from simxns_tpu.models import BertConfig, CrossEncoder, CrossEncoderConfig
+    from simxns_tpu.evals.rerank import rerank_topk
+
+    rng = np.random.default_rng(0)
+    s = args.seq
+    nb, b = (2, 8) if SMOKE else (16, 256)
+    ids = rng.integers(5, 30000, size=(nb * b, s)).astype(np.int32)
+    mask = np.ones_like(ids)
+    res = {}
+    p_xla = None
+    for name, kw in (("xla", {}), ("fused_int8",
+                                   {"layer_impl": "fused_int8"})):
+        cfg = (BertConfig.tiny(vocab_size=30522).replace(**kw) if SMOKE
+               else BertConfig(dtype=jnp.bfloat16, **kw))
+        ce = CrossEncoder(CrossEncoderConfig(bert=cfg))
+        p = ce.init(jax.random.PRNGKey(0), ids[:2], mask[:2])
+        if p_xla is None:
+            p_xla = p
+        else:
+            p = p_xla          # same params: cosine check is meaningful
+
+        @jax.jit
+        def score(params, i, m):
+            return ce.apply(params, i, m, deterministic=True)["logits"]
+
+        score(p, ids[:b], mask[:b])
+        outs = []
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            pend = [score(p, ids[k * b:(k + 1) * b], mask[k * b:(k + 1) * b])
+                    for k in range(nb)]
+            outs = [np.asarray(o, np.float32) for o in pend]
+            times.append(time.time() - t0)
+        t = float(np.median(times))
+        res[name] = {"p_per_s": round(nb * b / t, 1),
+                     "ms_per_256": round(t / nb * 1000, 2)}
+        res[name]["logits"] = np.concatenate(outs)
+        print(f"  {name}: {nb * b / t:.0f} joint/s", flush=True)
+    a, c = res["xla"].pop("logits"), res["fused_int8"].pop("logits")
+    # rank agreement: top-1 of each 16-group
+    ga = a.reshape(-1, 16).argmax(1)
+    gc = c.reshape(-1, 16).argmax(1)
+    agree = float((ga == gc).mean())
+    corr = float(np.corrcoef(a.ravel(), c.ravel())[0, 1])
+    emit({"stage": "ce_rerank_s%d" % s, "xla": res["xla"],
+          "fused_int8": res["fused_int8"],
+          "speedup": round(res["fused_int8"]["p_per_s"]
+                           / res["xla"]["p_per_s"], 3),
+          "top1_agreement": round(agree, 4), "score_corr": round(corr, 4)})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("stage", choices=["train", "ar2", "ce", "envelope",
+                                      "rerank"])
+    ap.add_argument("--k", type=int, default=8, help="timed steps per rep")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--seq", type=int, default=192)
+    ap.add_argument("--variants", default=None,
+                    help="comma list for train battery / 'dots' for steps")
+    ap.add_argument("--cpu", action="store_true",
+                    help="flow smoke on the virtual CPU mesh (tiny shapes; "
+                         "timings meaningless)")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        import jax
+
+        jax.config.update("jax_platform_name", "cpu")
+        args.batch = min(args.batch, 16)
+        args.seq = min(args.seq, 48)
+        args.k = 2
+        import simxns_tpu.ops.fused_layer as fl
+        import simxns_tpu.ops.fused_ffn as ff
+
+        fl.INTERPRET = ff.INTERPRET = True
+        global SMOKE
+        SMOKE = True
+    {"train": stage_train, "ar2": stage_ar2, "ce": stage_ce,
+     "envelope": stage_envelope, "rerank": stage_rerank}[args.stage](args)
+
+
+if __name__ == "__main__":
+    main()

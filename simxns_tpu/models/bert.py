@@ -59,6 +59,12 @@ class BertConfig:
                                        # Pallas program (encode-only; see
                                        # ops/fused_layer.py)
     remat: bool = False                # gradient checkpointing per layer
+    remat_policy: Optional[str] = None # None = recompute everything;
+                                       # "dots" = save MXU (matmul) outputs,
+                                       # recompute only elementwise/softmax —
+                                       # the bwd pass then re-pays VPU work
+                                       # but zero MXU FLOPs (middle ground
+                                       # between remat and no-remat)
 
     @staticmethod
     def tiny(**kw) -> "BertConfig":
@@ -367,7 +373,14 @@ class BertEncoder(nn.Module):
                 def body(mdl, h, m):
                     return mdl(h, m, deterministic=deterministic)[0]
 
-                x = nn.remat(body)(layer, x, attention_mask)
+                policy = None
+                if self.cfg.remat_policy == "dots":
+                    policy = (jax.checkpoint_policies
+                              .dots_with_no_batch_dims_saveable)
+                elif self.cfg.remat_policy is not None:
+                    raise ValueError(
+                        f"unknown remat_policy {self.cfg.remat_policy!r}")
+                x = nn.remat(body, policy=policy)(layer, x, attention_mask)
                 probs = None
             else:
                 x, probs = layer(x, attention_mask,

@@ -170,3 +170,30 @@ def test_quantized_impls_refuse_gradients():
 
         with pytest.raises(ValueError, match="encode-only quantized"):
             jax.grad(loss_fn)(base)
+
+
+def test_remat_policy_dots_trains():
+    """remat_policy="dots" (save MXU outputs, recompute elementwise) must
+    produce the same gradients as plain remat."""
+    import numpy as _np
+
+    ids = np.ones((2, 8), np.int32)
+    mask = np.ones_like(ids)
+    m_full = BertEncoder(CFG.replace(remat=True))
+    m_dots = BertEncoder(CFG.replace(remat=True, remat_policy="dots"))
+    params = m_full.init(jax.random.PRNGKey(0), ids, mask)
+
+    def loss(model):
+        return lambda p: jnp.sum(
+            model.apply(p, ids, mask).pooled.astype(jnp.float32) ** 2)
+
+    g1 = jax.grad(loss(m_full))(params)
+    g2 = jax.grad(loss(m_dots))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        _np.testing.assert_allclose(np.asarray(a, np.float32),
+                                    np.asarray(b, np.float32),
+                                    rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="unknown remat_policy"):
+        jax.grad(loss(BertEncoder(CFG.replace(
+            remat=True, remat_policy="nope"))))(params)
