@@ -106,3 +106,21 @@ def test_model_level_fused_layer_near_f32():
     cos = np.sum(a * b, 1) / (np.linalg.norm(a, axis=1)
                               * np.linalg.norm(b, axis=1))
     assert cos.min() > 0.99, cos
+
+
+def test_fused_layer_cross_encoder_shapes():
+    """CE joint shapes (S=160/192, non-128-multiple sequence lengths) —
+    the rerank-eval path (VERDICT r2 #6; PROD rerank S<=192)."""
+    rng = np.random.default_rng(7)
+    params = _params(128, 256, seed=7)
+    for s in (160, 192):
+        x = jnp.asarray(rng.normal(0, 1, (2, s, 128)), jnp.float32)
+        mask = np.ones((2, s), np.int32)
+        mask[1, s - 24:] = 0
+        mask = jnp.asarray(mask)
+        got = fl.fused_encoder_layer_int8(x, mask, params, num_heads=4)
+        want = fl.layer_reference(x, mask, params, num_heads=4)
+        a = np.asarray(got, np.float32).reshape(-1)
+        b = np.asarray(want, np.float32).reshape(-1)
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.999, (s, cos)
