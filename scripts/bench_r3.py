@@ -141,7 +141,8 @@ def stage_ar2(args):
     mesh = create_mesh()
     rng = np.random.default_rng(0)
     n, m, lq, lc, lj = ((8, 4, 16, 32, 48) if SMOKE else
-                        (64, 16, 32, 128, 160))
+                        (args.batch if args.batch != 512 else 64,
+                         16, 32, 128, 160))
     q = rng.integers(5, 30000, size=(n, lq)).astype(np.int32)
     c = rng.integers(5, 30000, size=(n * m, lc)).astype(np.int32)
     j = rng.integers(5, 30000, size=(n, m, lj)).astype(np.int32)
@@ -151,6 +152,8 @@ def stage_ar2(args):
     de_kw = {"remat": True}
     if args.variants and "dots" in args.variants:
         de_kw["remat_policy"] = "dots"
+    if args.variants and "noremat" in args.variants:
+        de_kw = {"remat": False}
     de_cfg = (BertConfig.tiny(vocab_size=30522) if SMOKE
               else BertConfig(dtype=jnp.bfloat16, **de_kw))
     if SMOKE:
@@ -193,12 +196,15 @@ def stage_ce(args):
 
     mesh = create_mesh()
     rng = np.random.default_rng(0)
-    n, m, lj = (8, 4, 48) if SMOKE else (64, 16, 160)
+    n, m, lj = ((8, 4, 48) if SMOKE else
+                (args.batch if args.batch != 512 else 64, 16, 160))
     j = rng.integers(5, 30000, size=(n, m, lj)).astype(np.int32)
     batch = {"joint_ids": j, "joint_mask": np.ones_like(j)}
     kw = {"remat": True}
     if args.variants and "dots" in args.variants:
         kw["remat_policy"] = "dots"
+    if args.variants and "noremat" in args.variants:
+        kw = {"remat": False}
     if SMOKE:
         cfg = BertConfig.tiny(vocab_size=30522)
     else:
@@ -230,11 +236,15 @@ def stage_envelope(args):
     """
     import subprocess
 
-    # 1) steady-state AR2-iteration step times, own process each
+    # 1) steady-state AR2-iteration step times at the PER-CHIP batch share
+    # (the recipe's global batch 64 spans 8 devices — 8 queries/chip, the
+    # same accounting as the 8-A100 reference; the CE-large step at the
+    # full global batch does not fit one chip even with remat)
     env = dict(os.environ)
     de_ms = ce_ms = None
     for stage, var in (("ar2", args.variants), ("ce", args.variants)):
-        cmd = [sys.executable, __file__, stage, "--k", str(args.k)]
+        cmd = [sys.executable, __file__, stage, "--k", str(args.k),
+               "--batch", "8"]
         if var:
             cmd += ["--variants", var]
         subprocess.run(cmd, check=True, env=env)
@@ -249,23 +259,28 @@ def stage_envelope(args):
     out = subprocess.run([sys.executable, "/root/repo/bench.py"],
                          capture_output=True, text=True, env=env)
     mine = json.loads(out.stdout.strip().splitlines()[-1])
-    mine_s = 8_800_000 / (mine["value"])       # per chip
+    mine_s_1chip = 8_800_000 / mine["value"]
+    mine_s_8chip = mine_s_1chip / 8          # row-sharded index + dp encode
     # reference window: 2000 steps, 500 of them reranker
-    #   (train_NQ_AR2.sh iteration_step=2000, iteration_reranker_step=500)
+    #   (train_NQ_AR2.sh iteration_step=2000, iteration_reranker_step=500);
+    # step times above are the per-chip batch share = v5e-8 wall-clock
+    # (modulo grad-psum, which rides ICI)
     train_s = (1500 * de_ms + 500 * ce_ms) / 1000
-    total_s = train_s + mine_s
-    # A100 anchor: mine 3h/8.8M on 8 GPUs -> per-chip-equivalent 3h; train
-    # side has NO published number (BASELINE.md) — compare mine-only and
-    # report the train split on its own terms.
+    total_8 = train_s + mine_s_8chip
+    # A100 anchor: mine "Evaluation 3h" on the SAME 8-device footing; the
+    # train side has NO published number (BASELINE.md) — report the split.
     emit({"stage": "iteration_envelope",
           "variant": args.variants or "remat",
-          "de_step_ms": de_ms, "ce_step_ms": ce_ms,
+          "de_step_ms_chipshare": de_ms, "ce_step_ms_chipshare": ce_ms,
           "train_window_s": round(train_s, 1),
-          "mine_s_per_chip": round(mine_s, 1),
-          "iteration_wall_clock_s": round(total_s, 1),
-          "train_share": round(train_s / total_s, 3),
-          "mine_vs_a100_ratio": mine["vs_baseline"],
-          "bench_value": mine["value"]})
+          "mine_s_v5e8": round(mine_s_8chip, 1),
+          "mine_s_v5e1": round(mine_s_1chip, 1),
+          "iteration_wall_clock_s_v5e8": round(total_8, 1),
+          "train_share": round(train_s / total_8, 3),
+          "a100_mine_anchor_s": 3 * 3600,
+          "iteration_vs_a100_mine_only": round(3 * 3600 / mine_s_8chip, 1),
+          "mine_vs_a100_per_chip": mine["vs_baseline"],
+          "bench_value_per_chip": mine["value"]})
 
 
 def stage_rerank(args):

@@ -37,11 +37,26 @@ def build_joint_inputs(query_ids: np.ndarray, corpus_ids: np.ndarray,
 
 
 def rerank_topk(ce_model, ce_params, joint_ids: np.ndarray,
-                pad_id: int = 0, batch: int = 256
+                pad_id: int = 0, batch: int = 256,
+                fused_int8: bool = False
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """Score [Q, K, Lj] joint inputs with the CE; return (ce_scores [Q, K],
-    reorder [Q, K] — positions into the original top-k by CE rank)."""
+    reorder [Q, K] — positions into the original top-k by CE rank).
+
+    ``fused_int8=True`` scores through a whole-layer fused int8 VIEW of the
+    same params (``BertConfig.layer_impl='fused_int8'`` — param trees
+    interchange): measured v5e-1 at the CE joint shape S=192, B=256 —
+    **5068 joint/s vs 1804 XLA bf16 (2.81x)**, score corr 0.999
+    (bench_r3_results.jsonl ce_rerank_s192). CE forward dominates reranker
+    eval ("this step will take a lot of time", ``PROD/README.md:345``).
+    """
+    import dataclasses
+
     q, k, lj = joint_ids.shape
+    if fused_int8:
+        ce_model = type(ce_model)(dataclasses.replace(
+            ce_model.cfg, bert=ce_model.cfg.bert.replace(
+                layer_impl="fused_int8")))
 
     @jax.jit
     def score(params, ids, mask):

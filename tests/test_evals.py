@@ -169,3 +169,31 @@ def test_write_eval_result(tmp_path):
     assert loaded["top1"] == 0.5 and loaded["top5"] == 1.0
     assert loaded["top100"] == 1.0
     assert "MRR_n@_10" in loaded["result_dict"]
+
+
+def test_rerank_topk_fused_int8_view_matches():
+    """fused_int8=True scores through the int8 whole-layer view of the SAME
+    params (interpret on CPU); rankings track the bf16 path."""
+    import jax
+    import numpy as np
+
+    import simxns_tpu.ops.fused_layer as fl
+    from simxns_tpu.evals.rerank import rerank_topk
+    from simxns_tpu.models import BertConfig, CrossEncoder, CrossEncoderConfig
+
+    rng = np.random.default_rng(0)
+    ce = CrossEncoder(CrossEncoderConfig(
+        bert=BertConfig.tiny(vocab_size=512)))
+    joint = rng.integers(4, 512, size=(3, 4, 24)).astype(np.int32)
+    p = ce.init(jax.random.PRNGKey(0), joint.reshape(12, 24)[:2],
+                np.ones((2, 24), np.int32))
+    s_ref, o_ref = rerank_topk(ce, p, joint, batch=12)
+    old = fl.INTERPRET
+    fl.INTERPRET = True
+    try:
+        s_fused, o_fused = rerank_topk(ce, p, joint, batch=12,
+                                       fused_int8=True)
+    finally:
+        fl.INTERPRET = old
+    corr = np.corrcoef(s_ref.ravel(), s_fused.ravel())[0, 1]
+    assert corr > 0.99, corr
