@@ -95,12 +95,24 @@ def stage_train(args):
         "remat_fusedffn": dict(remat=True, ffn_impl="fused"),
         "dots_fusedffn": dict(remat=True, remat_policy="dots",
                               ffn_impl="fused"),
+        # grouped Pallas attention under grad: the r3 ablation attributed
+        # 1/3 of fwd+bwd time to the XLA attention core (3% of FLOPs);
+        # the grouped kernel's fused fwd+bwd re-tested for TRAINING
+        # (the round-2 null was encode/fwd-only)
+        "noremat_group": dict(remat=False),
+        "remat_group": dict(remat=True),
+        # tanh GELU (BertConfig.gelu): erf transcendentals measured ~9% of
+        # tower fwd+bwd (ablate_tower gelutanh)
+        "noremat_tanh": dict(remat=False, gelu="tanh"),
+        "noremat_group_tanh": dict(remat=False, gelu="tanh"),
     }
     sel = args.variants.split(",") if args.variants else list(variants)
     fwd_flops = bert_flops(nq * (32 + 128), 2 * nq)
     out = {}
+    import simxns_tpu.ops.flash_attention as fa
     for name in sel:
         kw = variants[name]
+        fa.SMALL_S_IMPL = "group" if name.endswith("_group") else "xla"
         cfg = (BertConfig.tiny(vocab_size=30522).replace(**kw) if SMOKE
                else BertConfig(dtype=jnp.bfloat16, **kw))
         model = BiEncoder(BiEncoderConfig(bert=cfg))

@@ -58,6 +58,14 @@ class BertConfig:
     layer_impl: str = "xla"            # "fused_int8" = whole layer as ONE
                                        # Pallas program (encode-only; see
                                        # ops/fused_layer.py)
+    gelu: str = "exact"                # "exact" = erf GELU (HF BERT parity);
+                                       # "tanh" = GPT-2-style approximation —
+                                       # measured training-speed knob: the
+                                       # erf transcendental costs ~20% of
+                                       # tower fwd / ~9% of fwd+bwd on v5e
+                                       # (bench_r3_results.jsonl
+                                       # ablate_tower: gelutanh). Opt-in;
+                                       # changes activations by ~1e-3.
     remat: bool = False                # gradient checkpointing per layer
     remat_policy: Optional[str] = None # None = recompute everything;
                                        # "dots" = save MXU (matmul) outputs,
@@ -79,6 +87,11 @@ class BertConfig:
 
     def replace(self, **kw) -> "BertConfig":
         return dataclasses.replace(self, **kw)
+
+    def __post_init__(self):
+        if self.gelu not in ("exact", "tanh"):
+            raise ValueError(f"BertConfig.gelu must be 'exact' or 'tanh', "
+                             f"got {self.gelu!r}")
 
 
 @dataclasses.dataclass
@@ -323,7 +336,7 @@ class BertLayer(nn.Module):
             out = impl(attn_out.astype(cfg.dtype), w1, b1, w2, b2)
         else:
             inter = _dense(cfg, cfg.intermediate_size, "intermediate")(attn_out)
-            inter = nn.gelu(inter, approximate=False)
+            inter = nn.gelu(inter, approximate=cfg.gelu == "tanh")
             out = _dense(cfg, cfg.hidden_size, "output")(inter)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,

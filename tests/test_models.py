@@ -197,3 +197,20 @@ def test_remat_policy_dots_trains():
     with pytest.raises(ValueError, match="unknown remat_policy"):
         jax.grad(loss(BertEncoder(CFG.replace(
             remat=True, remat_policy="nope"))))(params)
+
+
+def test_gelu_tanh_knob():
+    """BertConfig.gelu="tanh" (opt-in training-speed knob) runs and tracks
+    the exact-erf activations closely; unknown values are rejected."""
+    ids = np.ones((2, 8), np.int32) * 3
+    mask = np.ones_like(ids)
+    m_exact = BertEncoder(CFG)
+    m_tanh = BertEncoder(CFG.replace(gelu="tanh"))
+    params = m_exact.init(jax.random.PRNGKey(0), ids, mask)
+    a = np.asarray(m_exact.apply(params, ids, mask).pooled, np.float32)
+    b = np.asarray(m_tanh.apply(params, ids, mask).pooled, np.float32)
+    assert np.all(np.isfinite(b))
+    assert not np.array_equal(a, b)          # the approximation differs...
+    np.testing.assert_allclose(a, b, atol=5e-2)   # ...but only slightly
+    with pytest.raises(ValueError, match="gelu"):
+        CFG.replace(gelu="relu")
