@@ -105,6 +105,9 @@ def stage_train(args):
         # tower fwd+bwd (ablate_tower gelutanh)
         "noremat_tanh": dict(remat=False, gelu="tanh"),
         "noremat_group_tanh": dict(remat=False, gelu="tanh"),
+        # candidate (c): full-Pallas custom-VJP FFN (fwd saves g/gelu'
+        # residuals; bwd = dx/dh kernel + dW accumulation kernel)
+        "noremat_fusedvjp": dict(remat=False, ffn_impl="fused_vjp"),
     }
     sel = args.variants.split(",") if args.variants else list(variants)
     fwd_flops = bert_flops(nq * (32 + 128), 2 * nq)
@@ -166,6 +169,8 @@ def stage_ar2(args):
         de_kw["remat_policy"] = "dots"
     if args.variants and "noremat" in args.variants:
         de_kw = {"remat": False}
+    if args.variants and "fusedvjp" in args.variants:
+        de_kw["ffn_impl"] = "fused_vjp"
     de_cfg = (BertConfig.tiny(vocab_size=30522) if SMOKE
               else BertConfig(dtype=jnp.bfloat16, **de_kw))
     if SMOKE:
@@ -217,6 +222,8 @@ def stage_ce(args):
         kw["remat_policy"] = "dots"
     if args.variants and "noremat" in args.variants:
         kw = {"remat": False}
+    if args.variants and "fusedvjp" in args.variants:
+        kw["ffn_impl"] = "fused_vjp"
     if SMOKE:
         cfg = BertConfig.tiny(vocab_size=30522)
     else:

@@ -50,7 +50,10 @@ class BertConfig:
     dtype: Any = jnp.bfloat16          # activation/compute dtype
     param_dtype: Any = jnp.float32     # master params stay f32
     attention_impl: str = "flash"      # "flash" auto-picks pallas/xla by seq len
-    ffn_impl: str = "xla"              # "fused" = weight-stationary Pallas FFN;
+    ffn_impl: str = "xla"              # "fused" = weight-stationary Pallas FFN
+                                       # (fwd kernel, XLA bwd — encode);
+                                       # "fused_vjp" = full-Pallas fwd+bwd
+                                       # (the train path, ops/fused_ffn.py);
                                        # "int8" = quantized encode-only variant
     proj_impl: str = "xla"             # "int8" = q/k/v/output projections on
                                        # the int8 MXU (encode-only, like
@@ -321,8 +324,9 @@ class BertLayer(nn.Module):
         attn_out, probs = BertSelfAttention(cfg, name="attention")(
             hidden, attention_mask, deterministic=deterministic,
             output_attention=output_attention)
-        if cfg.ffn_impl in ("fused", "int8"):
-            from simxns_tpu.ops.fused_ffn import fused_ffn, int8_ffn
+        if cfg.ffn_impl in ("fused", "fused_vjp", "int8"):
+            from simxns_tpu.ops.fused_ffn import (
+                fused_ffn, fused_ffn_vjp, int8_ffn)
 
             w1, b1 = _KernelBias(cfg, cfg.hidden_size,
                                  cfg.intermediate_size, name="intermediate")()
@@ -330,9 +334,11 @@ class BertLayer(nn.Module):
                                  cfg.hidden_size, name="output")()
             # "int8" is the encode/serving path (2x MXU peak); round() has
             # zero gradient, so it must not be used for training.
+            # "fused_vjp" is the TRAIN path: full-Pallas fwd+bwd.
             if cfg.ffn_impl == "int8":
                 _guard_quantized_under_grad(attn_out, "ffn_impl='int8'")
-            impl = int8_ffn if cfg.ffn_impl == "int8" else fused_ffn
+            impl = {"int8": int8_ffn, "fused": fused_ffn,
+                    "fused_vjp": fused_ffn_vjp}[cfg.ffn_impl]
             out = impl(attn_out.astype(cfg.dtype), w1, b1, w2, b2)
         else:
             inter = _dense(cfg, cfg.intermediate_size, "intermediate")(attn_out)
