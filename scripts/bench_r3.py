@@ -302,6 +302,125 @@ def stage_envelope(args):
           "bench_value_per_chip": mine["value"]})
 
 
+def stage_pretrain(args):
+    """MASTER Condenser 8-loss pretrain step at the recipe working point
+    (BERT-base, S=128, 2-layer heads — MasterPretrainConfig; global batch
+    512 = 64/chip on the 8-chip footing). Composes with the collator
+    throughput number (7.2k ex/s/core): is pretraining device- or
+    collator-bound on one chip?"""
+    import jax
+    import jax.numpy as jnp
+
+    from simxns_tpu.data import CondenserCollator, HashTokenizer, TokenMeta
+    from simxns_tpu.models import BertConfig, Condenser, CondenserConfig
+    from simxns_tpu.parallel import create_mesh, shard_batch
+    from simxns_tpu.train import TrainState, make_adamw, make_condenser_step
+
+    mesh = create_mesh()
+    rng = np.random.default_rng(0)
+    b, s = ((8, 32) if SMOKE else
+            (args.batch if args.batch != 512 else 64, 128))
+    vocab = 256 if SMOKE else 30522
+    tok = HashTokenizer(vocab_size=vocab)
+    coll = CondenserCollator(TokenMeta.for_hash_tokenizer(tok),
+                             max_seq_length=s, seed=1)
+    examples = [{
+        "text": rng.integers(5, vocab - 5, size=s - 8).tolist(),
+        "queries": [rng.integers(5, vocab - 5, size=8).tolist()
+                    for _ in range(2)],
+        "next": [rng.integers(5, vocab - 5, size=s // 2).tolist()],
+    } for _ in range(b)]
+    t0 = time.time()
+    batch = coll(examples)
+    collate_s = time.time() - t0
+    cfg = (BertConfig.tiny(vocab_size=vocab, max_position_embeddings=64)
+           if SMOKE else BertConfig(dtype=jnp.bfloat16))
+    model = Condenser(CondenserConfig(bert=cfg, n_head_layers=2))
+    params = model.init(jax.random.PRNGKey(0),
+                        {k: v[:2] for k, v in batch.items()})
+    tx = make_adamw(1e-4, total_steps=0)
+    state = TrainState.create(params, tx)
+    step = make_condenser_step(model, tx, mesh)
+    dev = shard_batch(batch, mesh)
+    ms, state = _time_steps(step, state, (), dev, k=args.k)
+    # fwd FLOPs, coarse: 3 encoder MLM passes + 5 x 2-layer decoder heads
+    # (10/12 of one pass) + 8 vocab projections (modeling.py:53-160 shape)
+    h, v = cfg.hidden_size, vocab
+    enc = bert_flops(b * s, b, L=cfg.num_layers, H=h,
+                     F=cfg.intermediate_size, S=s)
+    fwd = 3 * enc + (10 / cfg.num_layers) * enc + 8 * b * s * 2 * h * v
+    emit({"stage": "pretrain_step", "batch": b, "seq": s,
+          "ms_per_step": round(ms, 1),
+          "ex_per_s": round(b / (ms / 1000), 1),
+          "collate_ms_per_batch": round(collate_s * 1000, 1),
+          "mfu_3x": round(3 * fwd / (ms / 1000) / PEAK_BF16, 4)})
+
+
+def stage_lead(args):
+    """LEAD 4-component joint step at the published recipe shape
+    (distill_from_12ce_to_6de.sh: 6-layer shared-tower student + 12-layer
+    per-layer-logits CE, BOTH trained, 3 distilled layers, joint len 160,
+    global batch 64 = 8/chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from simxns_tpu.models import (
+        BiEncoder, BiEncoderConfig, BertConfig, CrossEncoder,
+        CrossEncoderConfig)
+    from simxns_tpu.parallel import create_mesh, shard_batch
+    from simxns_tpu.train import (
+        LeadConfig, TrainState, make_adamw, make_lead_step)
+
+    mesh = create_mesh()
+    rng = np.random.default_rng(0)
+    n, m, lq, lc, lj = ((8, 2, 8, 16, 24) if SMOKE else
+                        (args.batch if args.batch != 512 else 8,
+                         2, 32, 128, 160))
+    q = rng.integers(5, 30000, size=(n, lq)).astype(np.int32)
+    c = rng.integers(5, 30000, size=(n * m, lc)).astype(np.int32)
+    j = rng.integers(5, 30000, size=(n, m, lj)).astype(np.int32)
+    batch = {"q_ids": q, "q_mask": np.ones_like(q),
+             "ctx_ids": c, "ctx_mask": np.ones_like(c),
+             "positive_idx": (np.arange(n) * m).astype(np.int32),
+             "joint_ids": j, "joint_mask": np.ones_like(j)}
+    kw = {} if SMOKE else {"dtype": jnp.bfloat16}
+    db_cfg = (BertConfig.tiny(vocab_size=30522) if SMOKE
+              else BertConfig(num_layers=6, **kw))
+    ce_cfg = (BertConfig.tiny(vocab_size=30522) if SMOKE
+              else BertConfig(**kw))
+    db = BiEncoder(BiEncoderConfig(bert=db_cfg, share_weight=True))
+    ce = CrossEncoder(CrossEncoderConfig(bert=ce_cfg, per_layer_logits=True))
+    tx = make_adamw(5e-5, total_steps=0)
+    states = {
+        "db": TrainState.create(db.init(
+            jax.random.PRNGKey(0), q[:2], batch["q_mask"][:2], c[:2],
+            batch["ctx_mask"][:2]), tx),
+        "ce": TrainState.create(ce.init(
+            jax.random.PRNGKey(1), j.reshape(n * m, lj)[:2],
+            np.ones((2, lj), np.int32)), tx),
+    }
+    lcfg = LeadConfig(distill_db=True, distill_ce=True, train_db=True,
+                      train_ce=True, layer_score=True, reweight=True,
+                      layer_temperature=10.0)
+    nsel = 1 if SMOKE else 3
+    step = make_lead_step({"db": db, "ce": ce}, {"db": tx, "ce": tx},
+                          mesh, lcfg, num_distill_layers=nsel)
+    dev = shard_batch(batch, mesh)
+    sel_s = jnp.arange(nsel, dtype=jnp.int32)
+    sel_t = jnp.arange(nsel, dtype=jnp.int32) * 2 + 1
+
+    def step2(states_, batch_):
+        return step(states_, batch_, sel_s, sel_t)
+
+    ms, states = _time_steps(step2, states, (), dev, k=args.k)
+    db_fwd = bert_flops(n * lq + n * m * lc, n + n * m, L=6)
+    ce_fwd = bert_flops(n * m * lj, n * m, S=lj)
+    mfu = 3 * (db_fwd + ce_fwd) / (ms / 1000) / PEAK_BF16
+    emit({"stage": "lead_step", "shape": [n, m, lq, lc, lj],
+          "ms_per_step": round(ms, 1),
+          "q_per_s": round(n / (ms / 1000), 1), "mfu": round(mfu, 4)})
+
+
 def stage_rerank(args):
     """CE rerank forward at S=192: whole-layer fused int8 vs XLA bf16.
 
@@ -367,7 +486,7 @@ def stage_rerank(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("stage", choices=["train", "ar2", "ce", "envelope",
-                                      "rerank"])
+                                      "rerank", "pretrain", "lead"])
     ap.add_argument("--k", type=int, default=8, help="timed steps per rep")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--seq", type=int, default=192)
@@ -392,7 +511,8 @@ def main():
         global SMOKE
         SMOKE = True
     {"train": stage_train, "ar2": stage_ar2, "ce": stage_ce,
-     "envelope": stage_envelope, "rerank": stage_rerank}[args.stage](args)
+     "envelope": stage_envelope, "rerank": stage_rerank,
+     "pretrain": stage_pretrain, "lead": stage_lead}[args.stage](args)
 
 
 if __name__ == "__main__":
