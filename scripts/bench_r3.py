@@ -24,6 +24,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, "/root/repo")
 
@@ -483,10 +484,124 @@ def stage_rerank(args):
           "top1_agreement": round(agree, 4), "score_corr": round(corr, 4)})
 
 
+def stage_ce_attrib(args):
+    """Attribute the CE-large step's MFU gap (measured 0.40 vs the ~0.58
+    pure-GEMM ceiling): fwd-only / fwd+bwd / +optimizer split, the gelu
+    knob, and an S sweep — S=160 is an off-tile sequence length (128+32)
+    and S=256 crosses the flash-attention dispatch boundary. All variants
+    run back-to-back in ONE process so relay session variance cancels.
+
+    Emits one ``ce_attrib`` line with a dict per variant; variants that
+    fail (e.g. S=256 noremat OOM) record their error string instead.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from simxns_tpu.models import BertConfig, CrossEncoder, CrossEncoderConfig
+    from simxns_tpu.parallel import create_mesh, shard_batch
+    from simxns_tpu.train import TrainState, make_adamw, make_reranker_step
+
+    mesh = create_mesh()
+    rng = np.random.default_rng(0)
+    n, m = (8, 2) if SMOKE else (64, 16)
+    res = {}
+
+    def make(lj, **cfg_kw):
+        j = rng.integers(5, 30000, size=(n, m, lj)).astype(np.int32)
+        batch = {"joint_ids": j, "joint_mask": np.ones_like(j)}
+        cfg = (BertConfig.tiny(vocab_size=30522).replace(
+                   **{k: v for k, v in cfg_kw.items()
+                      if k in ("gelu", "attention_impl")}) if SMOKE else
+               BertConfig(num_layers=24, hidden_size=1024, num_heads=16,
+                          intermediate_size=4096, dtype=jnp.bfloat16,
+                          remat=False, **cfg_kw))
+        ce = CrossEncoder(CrossEncoderConfig(bert=cfg))
+        p = ce.init(jax.random.PRNGKey(0), j.reshape(n * m, lj)[:2],
+                    np.ones((2, lj), np.int32))
+        state = TrainState.create(p, make_adamw(1e-6, total_steps=0))
+        fwd = bert_flops(n * m * lj, n * m, L=cfg.num_layers,
+                         H=cfg.hidden_size, F=cfg.intermediate_size, S=lj)
+        return ce, state, shard_batch(batch, mesh), fwd
+
+    def record(label, fn):
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — record OOM/compile failures
+            res[label] = {"error": str(e)[:200]}
+        print(f"  {label}: {res.get(label)}", flush=True)
+
+    def full(label, lj, **cfg_kw):
+        ce, state, dev, fwd = make(lj, **cfg_kw)
+        tx = make_adamw(1e-6, total_steps=0)
+        step = make_reranker_step(ce, tx, mesh, group_size=m)
+        ms, _ = _time_steps(step, state, (), dev, k=args.k)
+        res[label] = {"ms": round(ms, 1),
+                      "joint_per_s": round(n * m / (ms / 1000), 1),
+                      "mfu_3x": round(3 * fwd / (ms / 1000) / PEAK_BF16, 4)}
+
+    def parts(lj):
+        ce, state, dev, fwd = make(lj)
+
+        def loss_fn(params, batch):
+            nn, mm, ll = batch["joint_ids"].shape
+            out = ce.apply(params, batch["joint_ids"].reshape(nn * mm, ll),
+                           batch["joint_mask"].reshape(nn * mm, ll),
+                           group_size=mm, deterministic=True)
+            lg = out["logits"].astype(jnp.float32)
+            return -jax.nn.log_softmax(lg, 1)[:, 0].mean()
+
+        # Mesh-aware jit WITHOUT donation (state is reused across timed
+        # calls); on a single-device mesh shardings are omitted (see
+        # train.steps.sharding_kwargs for why).
+        kw = {}
+        if mesh.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from simxns_tpu.parallel.mesh import dp_axes
+            repl = NamedSharding(mesh, PartitionSpec())
+            shard = NamedSharding(mesh, PartitionSpec(dp_axes(mesh)))
+            kw = {"in_shardings": (repl, shard)}
+        fwd_j = jax.jit(loss_fn, **kw)
+
+        @partial(jax.jit, **kw)
+        def grad_j(params, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            # 1e-30 * global_norm keeps grads live in the output without
+            # changing the reported loss (XLA cannot fold a data-dependent
+            # term).
+            return loss + 1e-30 * optax.global_norm(grads)
+
+        def fwd_step(state, batch):
+            return state, {"loss": fwd_j(state.params, batch)}
+
+        def grad_step(state, batch):
+            return state, {"loss": grad_j(state.params, batch)}
+
+        ms, _ = _time_steps(fwd_step, state, (), dev, k=args.k)
+        res[f"fwd{lj}"] = {"ms": round(ms, 1),
+                           "mfu_1x": round(fwd / (ms / 1000) / PEAK_BF16, 4)}
+        print(f"  fwd{lj}: {res[f'fwd{lj}']}", flush=True)
+        ms, _ = _time_steps(grad_step, state, (), dev, k=args.k)
+        res[f"grad{lj}"] = {"ms": round(ms, 1),
+                            "mfu_3x": round(3 * fwd / (ms / 1000)
+                                            / PEAK_BF16, 4)}
+
+    record("full160", lambda: full("full160", 160))
+    record("parts160", lambda: parts(160))
+    record("tanh160", lambda: full("tanh160", 160, gelu="tanh"))
+    for lj in (128, 192):
+        record(f"full{lj}", lambda lj=lj: full(f"full{lj}", lj))
+    record("full256_flash", lambda: full("full256_flash", 256))
+    record("full256_xla",
+           lambda: full("full256_xla", 256, attention_impl="xla"))
+    emit({"stage": "ce_attrib", "shape_nm": [n, m], **res})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("stage", choices=["train", "ar2", "ce", "envelope",
-                                      "rerank", "pretrain", "lead"])
+                                      "rerank", "pretrain", "lead",
+                                      "ce_attrib"])
     ap.add_argument("--k", type=int, default=8, help="timed steps per rep")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--seq", type=int, default=192)
@@ -512,7 +627,8 @@ def main():
         SMOKE = True
     {"train": stage_train, "ar2": stage_ar2, "ce": stage_ce,
      "envelope": stage_envelope, "rerank": stage_rerank,
-     "pretrain": stage_pretrain, "lead": stage_lead}[args.stage](args)
+     "pretrain": stage_pretrain, "lead": stage_lead,
+     "ce_attrib": stage_ce_attrib}[args.stage](args)
 
 
 if __name__ == "__main__":
