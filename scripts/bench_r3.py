@@ -504,7 +504,10 @@ def stage_ce_attrib(args):
 
     mesh = create_mesh()
     rng = np.random.default_rng(0)
-    n, m = (8, 2) if SMOKE else (64, 16)
+    # n=8 is the recipe per-chip share (global batch 64 / 8 chips), the
+    # same accounting as stage_ce — n=64 noremat BERT-large needs 112.9G
+    # HBM and fails compile (measured; the HTTP 500s were compile OOMs).
+    n, m = (8, 2) if SMOKE else (args.batch if args.batch != 512 else 8, 16)
     res = {}
 
     def make(lj, **cfg_kw):
@@ -525,10 +528,19 @@ def stage_ce_attrib(args):
         return ce, state, shard_batch(batch, mesh), fwd
 
     def record(label, fn):
-        try:
-            fn()
-        except Exception as e:  # noqa: BLE001 — record OOM/compile failures
-            res[label] = {"error": str(e)[:200]}
+        for attempt in (1, 2):
+            try:
+                fn()
+                break
+            except Exception as e:  # noqa: BLE001 — record compile failures
+                res[label] = {"error": str(e)[:200]}
+                # The relay's compile helpers restart occasionally
+                # (Connection Failed / transient 500) — retry once.
+                transient = ("Connection Failed" in str(e)
+                             or "UNAVAILABLE" in str(e))
+                if not transient or attempt == 2:
+                    break
+                time.sleep(30)
         print(f"  {label}: {res.get(label)}", flush=True)
 
     def full(label, lj, **cfg_kw):
