@@ -180,6 +180,11 @@ def stage_ar2(args):
         ce_cfg = BertConfig(num_layers=24, hidden_size=1024, num_heads=16,
                             intermediate_size=4096, dtype=jnp.bfloat16,
                             remat=True)
+    # "int8teacher": frozen-teacher fwd (~59% of step FLOPs) through the
+    # whole-layer fused int8 view — the step factory never differentiates
+    # ce_model, so the encode-only composition is legal here.
+    if args.variants and "int8teacher" in args.variants:
+        ce_cfg = ce_cfg.replace(layer_impl="fused_int8")
     de = BiEncoder(BiEncoderConfig(bert=de_cfg))
     ce = CrossEncoder(CrossEncoderConfig(bert=ce_cfg))
     de_p = de.init(jax.random.PRNGKey(0), q[:2], batch["q_mask"][:2],

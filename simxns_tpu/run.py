@@ -107,6 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="mine through the whole-layer fused int8 encode "
                          "kernel (TPU; params shared with the bf16 "
                          "training model)")
+    ap.add_argument("--fast-teacher", action="store_true",
+                    help="run frozen-teacher forwards (AR2 retriever step, "
+                         "PROD KD) through the whole-layer fused int8 view "
+                         "of the live teacher params")
     return ap
 
 
@@ -459,7 +463,16 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     # -- co-training (fresh opt states on the recipe schedule) -------------
     de_state = TrainState.create(de_state.params, tx_de)
     ce_state = TrainState.create(ce_state.params, tx_ce)
-    r_step = make_ar2_retriever_step(de, ce, tx_de, mesh,
+    # --fast-teacher: the retriever step's frozen reranker forward (~59%
+    # of step FLOPs at the recipe shape) runs through the whole-layer
+    # fused int8 VIEW of the live reranker params; the reranker's own
+    # training step stays on the differentiable bf16 composition.
+    ce_teacher = ce
+    if args.fast_teacher:
+        ce_teacher = CrossEncoder(CrossEncoderConfig(
+            bert=ce_cfg.replace(layer_impl="fused_int8"),
+            binary_head=cfg.reranker.binary_head))
+    r_step = make_ar2_retriever_step(de, ce_teacher, tx_de, mesh,
                                      adv_lambda=cfg.adv_lambda)
     c_step = make_reranker_step(ce, tx_ce, mesh, group_size=1 + negs)
     history = [res.top_k_hits[0]]
@@ -571,11 +584,17 @@ def run_kd(name: str, cfg: KDRecipeConfig, args) -> dict:
                                "joint_mask": b["joint_mask"]}, mesh)
             t_state, _ = ce_step(t_state, dev)
 
+    # --fast-teacher: distillation teacher forwards are frozen -> run them
+    # through the fused int8 view of the warmed teacher params.
+    kd_teacher = teacher
+    if args.fast_teacher:
+        kd_teacher = CrossEncoder(CrossEncoderConfig(
+            bert=t_cfg.replace(layer_impl="fused_int8")))
     step = make_kd_step(student, tx, mesh, cfg.teacher_type,
                         kd_type=cfg.kd_type, temperature=cfg.temperature,
                         ce_weight=cfg.ce_weight, kd_weight=cfg.kd_weight,
                         lwf_weight=cfg.lwf_weight, dkd_alpha=cfg.dkd_alpha,
-                        dkd_beta=cfg.dkd_beta, ce_teacher_model=teacher)
+                        dkd_beta=cfg.dkd_beta, ce_teacher_model=kd_teacher)
     teachers = {"ce": t_state.params}
     done, last = 0, float("nan")
     while done < steps:

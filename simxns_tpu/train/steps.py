@@ -327,6 +327,17 @@ def make_ar2_retriever_step(
 
     ``step(de_state, ce_params, batch)``; batch needs retriever inputs
     (q/ctx) AND the joint reranker inputs for the frozen teacher forward.
+
+    ``ce_model`` is used ONLY for that frozen (stop-gradient) forward, so
+    it may be an encode-only quantized VIEW of the reranker — e.g. a
+    ``CrossEncoder`` whose config has ``layer_impl='fused_int8'`` — sharing
+    the live reranker's param tree (the compositions interchange). The
+    teacher is ~59% of this step's FLOPs at the recipe shape (CE-large
+    S=160 fwd vs BERT-base DE fwd+bwd), so a faster teacher forward moves
+    the whole step; the quantized teacher's logits stay >0.999-correlated
+    with bf16 (measured, ops/fused_layer.py). Autodiff never touches the
+    teacher path (its activations carry no JVP tracer), so the encode-only
+    guard does not fire.
     """
     n_data = dp_size(mesh)
 

@@ -66,8 +66,9 @@ def test_unknown_recipe_rejected():
 
 
 def test_ar2_int8_index_and_fast_encode(tmp_path):
-    """--int8-index + --fast-encode: the production mining stack runs the
-    full co-training loop (fused-layer kernel interprets on CPU)."""
+    """--int8-index + --fast-encode + --fast-teacher: the production
+    stack (quantized mining AND quantized frozen-teacher forwards) runs
+    the full co-training loop (fused-layer kernel interprets on CPU)."""
     import simxns_tpu.ops.fused_layer as fl
 
     old = fl.INTERPRET
@@ -75,7 +76,7 @@ def test_ar2_int8_index_and_fast_encode(tmp_path):
     try:
         out = run_mod.main(_ar2_args(
             tmp_path, "nq_ar2_simans",
-            extra=("--int8-index", "--fast-encode")))
+            extra=("--int8-index", "--fast-encode", "--fast-teacher")))
     finally:
         fl.INTERPRET = old
     assert np.isfinite(out["top1"]) and 0.0 <= out["top1"] <= 1.0

@@ -147,6 +147,40 @@ def test_ar2_retriever_step_runs_and_improves_kl():
     assert normals[-1] < normals[0]  # retriever matches reranker distribution
 
 
+def test_ar2_retriever_step_with_int8_teacher_view():
+    """The frozen-teacher forward may run through the fused-int8 layer view
+    (encode-only composition): same param tree, loss close to the bf16
+    teacher, retriever grads still flow (the quantized-under-grad guard
+    must NOT fire — the teacher path carries no JVP tracer)."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(7)
+    de = BiEncoder(BiEncoderConfig(bert=CFG))
+    ce = CrossEncoder(CrossEncoderConfig(bert=CFG))
+    ce_int8 = CrossEncoder(CrossEncoderConfig(
+        bert=CFG.replace(layer_impl="fused_int8")))
+    batch = _de_batch(rng)
+    n, m, lj = batch["joint_ids"].shape
+    de_params = de.init(jax.random.PRNGKey(0), batch["q_ids"][:2],
+                        batch["q_mask"][:2], batch["ctx_ids"][:2],
+                        batch["ctx_mask"][:2])
+    ce_params = ce.init(jax.random.PRNGKey(1),
+                        batch["joint_ids"].reshape(n * m, lj)[:2],
+                        batch["joint_mask"].reshape(n * m, lj)[:2])
+    tx = make_adamw(2e-3, total_steps=0)
+    dev = shard_batch(batch, mesh)
+    losses = {}
+    for label, teacher in (("bf16", ce), ("int8", ce_int8)):
+        state = TrainState.create(jax.tree.map(jnp.copy, de_params), tx)
+        step = make_ar2_retriever_step(de, teacher, tx, mesh,
+                                       temperature=1.0, adv_lambda=0.0)
+        state, metrics = step(state, ce_params, dev)
+        losses[label] = float(metrics["loss"])
+        assert np.isfinite(losses[label])
+    # quantized teacher logits shift the KL target only slightly
+    assert abs(losses["int8"] - losses["bf16"]) < 0.15 * abs(
+        losses["bf16"]) + 0.05
+
+
 class _FakeState:
     def __init__(self):
         self.params = None
