@@ -86,6 +86,31 @@ def test_ce_teacher_kd_with_lwf():
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
 
 
+def test_ce_teacher_kd_with_int8_teacher_view():
+    """KD teachers are frozen, so the CE teacher forward may run through
+    the fused-int8 layer view (the --fast-teacher path): same param tree,
+    loss close to the bf16 teacher's, student grads unaffected."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(1)
+    batch = _batch(rng)
+    student, _, teacher_ce, s_params, _, t_ce = _init_models(batch)
+    teacher_int8 = CrossEncoder(CrossEncoderConfig(
+        bert=CFG.replace(layer_impl="fused_int8")))
+    tx = make_adamw(1e-3, total_steps=0)
+    dev = shard_batch(batch, mesh)
+    losses = {}
+    for label, teacher in (("bf16", teacher_ce), ("int8", teacher_int8)):
+        state = TrainState.create(jax.tree.map(jnp.copy, s_params), tx)
+        step = make_kd_step(student, tx, mesh, "cross_encoder",
+                            kd_type="KD_softmax", ce_weight=1.0,
+                            kd_weight=1.0, ce_teacher_model=teacher)
+        state, metrics = step(state, {"ce": t_ce}, dev)
+        losses[label] = float(metrics["loss"])
+        assert np.isfinite(losses[label])
+    assert abs(losses["int8"] - losses["bf16"]) < 0.15 * abs(
+        losses["bf16"]) + 0.05
+
+
 def test_double_teacher_takes_max():
     mesh = create_mesh()
     rng = np.random.default_rng(2)
