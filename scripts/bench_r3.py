@@ -114,7 +114,60 @@ def stage_train(args):
     fwd_flops = bert_flops(nq * (32 + 128), 2 * nq)
     out = {}
     import simxns_tpu.ops.flash_attention as fa
+
+    def run_parts():
+        """fwd-only / fwd+bwd(no optimizer) split of the noremat step —
+        attributes the full-step gap vs the ~0.58 pure-GEMM ceiling."""
+        import optax
+        from simxns_tpu.losses import in_batch_nll
+
+        cfg = (BertConfig.tiny(vocab_size=30522) if SMOKE
+               else BertConfig(dtype=jnp.bfloat16, remat=False))
+        model = BiEncoder(BiEncoderConfig(bert=cfg))
+        params = model.init(jax.random.PRNGKey(0), batch["q_ids"][:2],
+                            batch["q_mask"][:2], batch["ctx_ids"][:2],
+                            batch["ctx_mask"][:2])
+        state = TrainState.create(params, make_adamw(1e-5, total_steps=0))
+        dev = shard_batch(batch, mesh)
+
+        def loss_fn(p, b):
+            q_emb, ctx_emb = model.apply(p, b["q_ids"], b["q_mask"],
+                                         b["ctx_ids"], b["ctx_mask"],
+                                         deterministic=True)
+            loss, _ = in_batch_nll(q_emb, ctx_emb, b["positive_idx"])
+            return loss
+
+        kw = {}
+        if mesh.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from simxns_tpu.parallel.mesh import dp_axes
+            kw = {"in_shardings": (
+                NamedSharding(mesh, PartitionSpec()),
+                NamedSharding(mesh, PartitionSpec(dp_axes(mesh))))}
+        fwd_j = jax.jit(loss_fn, **kw)
+
+        @partial(jax.jit, **kw)
+        def grad_j(p, b):
+            loss, grads = jax.value_and_grad(loss_fn)(p, b)
+            return loss + 1e-30 * optax.global_norm(grads)
+
+        for label, f in (("fwdonly", fwd_j), ("gradonly", grad_j)):
+            def pstep(state, b, f=f):
+                return state, {"loss": f(state.params, b)}
+            ms, _ = _time_steps(pstep, state, (), dev, k=args.k)
+            mult = 1 if label == "fwdonly" else 3
+            out[label] = {"ms": round(ms, 1),
+                          f"mfu_{mult}x": round(
+                              mult * fwd_flops / (ms / 1000) / PEAK_BF16, 4)}
+            print(f"  {label}: {out[label]}", flush=True)
+
     for name in sel:
+        if name == "parts":
+            try:
+                run_parts()
+            except Exception as e:  # noqa: BLE001
+                out["parts"] = {"error": str(e)[:200]}
+            continue
         kw = variants[name]
         fa.SMALL_S_IMPL = "group" if name.endswith("_group") else "xla"
         cfg = (BertConfig.tiny(vocab_size=30522).replace(**kw) if SMOKE
