@@ -31,6 +31,9 @@ parser.add_argument("--mode", default="fused",
                     help="MIPS index mode: fused|approx|exact")
 parser.add_argument("--int8", action="store_true",
                     help="SQ8-analog int8 index storage (half HBM)")
+parser.add_argument("--fast-teacher", action="store_true",
+                    help="retriever-step frozen reranker forward through "
+                         "the fused int8 view (same params)")
 parser.add_argument("--fast-encode", action="store_true",
                     help="mine through the whole-layer fused int8 encode "
                          "kernel (shared params; training stays bf16)")
@@ -63,8 +66,10 @@ from simxns_tpu.train.driver import (  # noqa: E402
 
 if args.cpu:
     import simxns_tpu.ops.mips_kernel as mk
+    import simxns_tpu.ops.fused_layer as fl
 
     mk.INTERPRET = True
+    fl.INTERPRET = True      # --fast-encode/--fast-teacher smoke on CPU
 
 mesh = create_mesh()
 print("mesh:", dict(mesh.shape), "on", jax.devices()[0].platform, flush=True)
@@ -203,7 +208,14 @@ tx_r = make_adamw(3e-4, total_steps=0)
 tx_c = make_adamw(1e-4, total_steps=0)
 de_state = TrainState.create(de_state.params, tx_r)
 ce_state = TrainState.create(ce_state.params, tx_c)
-r_step = make_ar2_retriever_step(de, ce, tx_r, mesh, adv_lambda=0.0)
+# --fast-teacher: the frozen reranker fwd inside the retriever step
+# through the fused int8 view (params shared with the trained ce)
+ce_teacher = ce
+if args.fast_teacher:
+    from simxns_tpu.models import CrossEncoderConfig as _CEC
+    ce_teacher = CrossEncoder(_CEC(bert=cfg.replace(
+        layer_impl="fused_int8")))
+r_step = make_ar2_retriever_step(de, ce_teacher, tx_r, mesh, adv_lambda=0.0)
 c_step = make_reranker_step(ce, tx_c, mesh, group_size=1 + NEG)
 
 current = dataset_from(res, 1)
@@ -247,6 +259,7 @@ rec = {"stage": "soak_ar2", "corpus": N, "queries": Q,
        "windows": args.windows, "mode": args.mode,
        "store": "int8" if args.int8 else "bf16",
        "encode": "fused_layer" if args.fast_encode else "bf16",
+       "teacher": "fused_int8" if args.fast_teacher else "bf16",
        "recall_trajectory": [round(r, 4) for r in recalls],
        "total_s": round(total_s, 1),
        "phase_times_s": {k: round(v, 1) for k, v in phases.items()}}
