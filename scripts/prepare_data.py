@@ -120,8 +120,14 @@ def main(argv=None):
         with open(args.out + ".qa.json", "w", encoding="utf-8") as f:
             json.dump([{"question": q, "answers": a} for q, a in qa], f)
 
-    np.savez_compressed(args.out, ids=ids, pids=pids)
-    print(f"wrote {args.out}: ids {ids.shape}, pids {pids.shape}")
+    # record the packer's separator id so run.py splices joint inputs with
+    # the SAME token the corpus was packed with (a BERT-vocab corpus packed
+    # here has sep=102; RoBERTa/Hash use 2 — run.py must not assume)
+    sep_id = int(getattr(tok, "sep_token_id", None) or 2)
+    np.savez_compressed(args.out, ids=ids, pids=pids,
+                        sep_id=np.asarray(sep_id, np.int64))
+    print(f"wrote {args.out}: ids {ids.shape}, pids {pids.shape}, "
+          f"sep_id {sep_id}")
 
 
 if __name__ == "__main__":

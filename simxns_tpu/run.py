@@ -249,9 +249,44 @@ def _load_prepared(args, data_cfg) -> _Corpus:
               file=sys.stderr)
 
     vocab = int(max(corpus_ids.max(), query_ids.max())) + 1
+    # the packer records its separator id (scripts/prepare_data.py); older
+    # npz files predate the field — they were packed with sep=2 tokenizers
+    sep_id = int(corpus["sep_id"]) if "sep_id" in corpus else 2
     return _Corpus(corpus_ids, query_ids, questions, answers, passages,
-                   vocab_size=max(vocab, 512), sep_id=2,
+                   vocab_size=max(vocab, 512), sep_id=sep_id,
                    positive_rows=positive_rows)
+
+
+def _gold_warm(data, k: int):
+    """Synthetic "gold" mining result for model warm-up (the reference
+    warms from separately-trained checkpoints, e.g.
+    ``co_training_wiki_train.py:138-147``; here both models warm on
+    labeled pairs before co-training/distillation).
+
+    With real labels (``data.positive_rows`` from ``--qrels``) each query
+    leads with its actual gold row; without them the synthetic corpora's
+    diagonal contract (query i <-> passage i) applies. Indices wrap
+    modulo the corpus size, so a query set larger than the corpus cannot
+    index out of range. Queries with no gold get all-False hits and are
+    dropped by ``MinedDataset`` (no usable positive).
+    """
+    n_c = len(data.corpus_ids)
+    nq = len(data.query_ids)
+    pos = getattr(data, "positive_rows", None)
+    leads, labeled = [], []
+    for i in range(nq):
+        if pos is not None:
+            leads.append(int(pos[i][0]) if pos[i] else 0)
+            labeled.append(bool(pos[i]))
+        else:
+            leads.append(i % n_c)
+            labeled.append(True)
+    return type("R", (), {
+        "topk_ids": np.stack(
+            [np.r_[p, (np.arange(1, k) + p) % n_c] for p in leads]),
+        "topk_scores": np.tile(np.linspace(5, 1, k, dtype=np.float32),
+                               (nq, 1)),
+        "hits": [[j == 0 and lab for j in range(k)] for lab in labeled]})()
 
 
 def _synthesize(args, data_cfg) -> _Corpus:
@@ -361,7 +396,7 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     # the recipe learning rates assume warm full-size checkpoints; the
     # tiny synthetic fallback trains from scratch and needs warmup-scale lrs
     de_lr = args.lr if args.lr is not None else (3e-3 if tiny else None)
-    ce_lr = 1e-3 if tiny and args.lr is None else None
+    ce_lr = (args.lr if args.lr is not None else 1e-3) if tiny else None
     # co-training lrs sit well below warm-up lrs (reference: 1e-5/1e-6 on
     # warm checkpoints vs 1e-5..2e-5 warm-up at full scale; 10x down and
     # constant for the from-scratch tiny demo)
@@ -424,15 +459,7 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
 
     # -- warmup: both models must start trained (the reference loads
     #    finetuned DE + reranker checkpoints before co-training) -----------
-    gold = type("R", (), {
-        "topk_ids": np.stack(
-            [np.r_[i, (np.arange(1, topk) + i) % len(data.corpus_ids)]
-             for i in range(len(data.query_ids))]),
-        "topk_scores": np.tile(
-            np.linspace(5, 1, topk, dtype=np.float32),
-            (len(data.query_ids), 1)),
-        "hits": [[j == 0 for j in range(topk)]
-                 for _ in range(len(data.query_ids))]})()
+    gold = _gold_warm(data, topk)
     warm_ds = dataset_from(gold, args.seed)
     warm_de = make_biencoder_step(de, tx_warm_de, mesh, grad_mode="full")
     warm_ce = make_reranker_step(ce, tx_warm_ce, mesh, group_size=1 + negs)
@@ -489,6 +516,14 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
 
     iteration = min(cfg.iteration_step, max(4, steps // 2) if tiny
                     else cfg.iteration_step)
+    # first window: reuse the warmup-eval mining result (the params have
+    # not changed since `res = mine(de_state)` above — a second
+    # full-corpus mine here would be pure duplicate work)
+    first_ds = dataset_from(res, 0)
+    first_batches = (
+        (lambda: first_ds.batches(batch_size=batch_size))
+        if len(first_ds) >= batch_size
+        else (lambda: warm_ds.batches(batch_size=batch_size)))
     trainer = AR2CoTrainer(
         mesh,
         AR2Config(iteration_step=iteration,
@@ -497,8 +532,7 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
                   max_steps=steps, batch_size=batch_size,
                   log_every=max(1, steps // 10)),
         de_state, ce_state, r_step, c_step,
-        batches=refresh(de_state, 0)
-        or (lambda: warm_ds.batches(batch_size=batch_size)),
+        batches=first_batches,
         refresh_fn=refresh, metric_logger=logger)
     trainer.run()
 
@@ -562,13 +596,7 @@ def run_kd(name: str, cfg: KDRecipeConfig, args) -> dict:
     state = TrainState.create(s_params, tx)
 
     k = negs + 1
-    nq = len(data.query_ids)
-    gold = type("R", (), {
-        "topk_ids": np.stack(
-            [np.r_[i, (np.arange(1, k) + i) % len(data.corpus_ids)]
-             for i in range(nq)]),
-        "topk_scores": np.tile(np.linspace(5, 1, k, np.float32), (nq, 1)),
-        "hits": [[j == 0 for j in range(k)] for _ in range(nq)]})()
+    gold = _gold_warm(data, k)
     ds = from_mining_result(data.corpus_ids, data.query_ids, gold,
                             num_negatives=negs, max_joint_length=lj,
                             sep_id=data.sep_id, seed=args.seed,
@@ -629,14 +657,20 @@ def run_pretrain(name: str, cfg: MasterPretrainConfig, args) -> dict:
     from simxns_tpu.parallel import create_mesh, shard_batch
     from simxns_tpu.train import TrainState, make_condenser_step
 
-    tiny = not args.full_size
+    if args.corpus or args.queries:
+        print("WARNING: master_pretrain trains on generated synthetic "
+              "token streams; --corpus/--queries are ignored by this "
+              "recipe (the reference pretrains from its own preprocessed "
+              "MASTER corpus format).", file=sys.stderr)
+    tiny = not args.full_size          # --tiny-models adds nothing here:
+    #                                    the synthetic config is already tiny
     mesh = create_mesh()
     logger = MetricLogger(args.output_dir)
     steps = args.steps if args.steps is not None else (
         50 if tiny else cfg.optim.total_steps)
     batch_size = args.batch if args.batch is not None else cfg.global_batch
-    if tiny:
-        batch_size = min(batch_size, 16)
+    if tiny and args.batch is None:
+        batch_size = min(batch_size, 16)   # never clamp an explicit --batch
 
     tok = HashTokenizer(vocab_size=2048)
     meta = TokenMeta.for_hash_tokenizer(tok)
@@ -742,13 +776,7 @@ def run_lead(name: str, cfg, args) -> dict:
     # gold warm dataset (the reference initializes both models from trained
     # single-model checkpoints, run_LEAD.py DISTILL_CE_PATH/DISTILL_DB_PATH)
     nq = len(data.query_ids)
-    gold = type("R", (), {
-        "topk_ids": np.stack(
-            [np.r_[i, (np.arange(1, m) + i) % len(data.corpus_ids)]
-             for i in range(nq)]),
-        "topk_scores": np.tile(np.linspace(5, 1, m, dtype=np.float32),
-                               (nq, 1)),
-        "hits": [[j == 0 for j in range(m)] for _ in range(nq)]})()
+    gold = _gold_warm(data, m)
     ds = from_mining_result(data.corpus_ids, data.query_ids, gold,
                             num_negatives=negs, max_joint_length=lj,
                             sep_id=data.sep_id, seed=args.seed,
@@ -928,8 +956,8 @@ def run_capstone(name: str, cfg, args) -> dict:
     for it in range(steps):
         bucket, gold_prob = gradual_bucket(
             it, steps, cfg.total_part, cfg.select_generated_query)
-        q_idx = rng.choice(nq, size=batch_size, replace=False) \
-            if nq >= batch_size else rng.integers(0, nq, size=batch_size)
+        # batch_size is clamped to <= nq above, so no-replacement is safe
+        q_idx = rng.choice(nq, size=batch_size, replace=False)
         ctx_ids = np.zeros((batch_size * m, lc), np.int32)
         for bi, qi in enumerate(q_idx):
             neg_rows = [(int(qi) + 1 + int(r)) % len(data.corpus_ids)
@@ -1029,12 +1057,7 @@ def run_allies(name: str, cfg, args) -> dict:
     step = make_biencoder_step(model, tx, mesh, grad_mode="full")
     nq = len(data.query_ids)
     m = 2
-    gold = type("R", (), {
-        "topk_ids": np.stack(
-            [np.r_[i, [(i + 1) % len(data.corpus_ids)]]
-             for i in range(nq)]),
-        "topk_scores": np.tile(np.asarray([5.0, 1.0], np.float32), (nq, 1)),
-        "hits": [[True, False] for _ in range(nq)]})()
+    gold = _gold_warm(data, m)
     ds = from_mining_result(data.corpus_ids, data.query_ids, gold,
                             num_negatives=1, sep_id=data.sep_id,
                             seed=args.seed, simans_mode=None)

@@ -24,7 +24,9 @@ def _ar2_args(tmp_path, recipe, extra=()):
 
 
 def test_ar2_recipe_runs_and_writes_outputs(tmp_path):
-    out = run_mod.main(_ar2_args(tmp_path, "nq_ar2_simans"))
+    # --lr on a tiny run once crashed (ce_lr None * 0.1); keep it covered
+    out = run_mod.main(_ar2_args(tmp_path, "nq_ar2_simans",
+                                 extra=("--lr", "2e-3")))
     assert out["recipe"] == "nq_ar2_simans"
     assert np.isfinite(out["top1"]) and np.isfinite(out["mrr10"])
     assert 0.0 <= out["top1"] <= 1.0
