@@ -44,23 +44,40 @@ class CorpusEncoder:
     (``co_training_generate_new_train_wiki.py:239-280``).
     """
 
-    def __init__(self, encode_fn: Callable, mesh: Mesh, chunk_size: int = 4096):
+    def __init__(self, encode_fn: Callable, mesh: Mesh, chunk_size: int = 4096,
+                 inflight: int = 4):
         self.mesh = mesh
         self.chunk_size = chunk_size
-        in_shard = NamedSharding(mesh, P(DATA_AXIS, None))
-        self._encode = jax.jit(
-            encode_fn,
-            in_shardings=(None, in_shard, in_shard),
-            out_shardings=NamedSharding(mesh, P(DATA_AXIS, None)),
-        )
+        self.inflight = inflight
+        if mesh.size > 1:
+            in_shard = NamedSharding(mesh, P(DATA_AXIS, None))
+            self._encode = jax.jit(
+                encode_fn,
+                in_shardings=(None, in_shard, in_shard),
+                out_shardings=NamedSharding(mesh, P(DATA_AXIS, None)),
+            )
+        else:
+            # explicit shardings on a 1-device mesh are semantic no-ops but
+            # NOT free on every runtime (train/steps.py sharding_kwargs:
+            # measured 64x on one relay backend) — omit them
+            self._encode = jax.jit(encode_fn)
 
     def __call__(self, params, token_ids: np.ndarray, attention_mask: np.ndarray,
                  out_dtype=np.float32) -> np.ndarray:
         n = token_ids.shape[0]
-        # Dispatch every chunk before materializing any: jax execution is
-        # async, so transfers and encodes of successive chunks pipeline
-        # instead of a host sync per chunk (np.asarray) serializing them.
+        # Keep a bounded window of chunks in flight: jax execution is async,
+        # so transfers and encodes of successive chunks pipeline instead of
+        # a host sync per chunk serializing them — but draining as we go
+        # keeps device-resident encode outputs at O(inflight), not
+        # O(corpus) (a 21M x 768 corpus of f32 chunk outputs would OOM the
+        # 16G chip before the index even builds).
         pending = []
+        done = []
+
+        def drain_one():
+            emb, valid = pending.pop(0)
+            done.append(np.asarray(emb, dtype=out_dtype)[:valid])
+
         for s in range(0, n, self.chunk_size):
             ids = token_ids[s: s + self.chunk_size]
             mask = attention_mask[s: s + self.chunk_size]
@@ -71,9 +88,11 @@ class CorpusEncoder:
                 mask = np.pad(mask, ((0, pad), (0, 0)))
             emb = self._encode(params, jnp.asarray(ids), jnp.asarray(mask))
             pending.append((emb, valid))
-        return np.concatenate(
-            [np.asarray(emb, dtype=out_dtype)[:valid]
-             for emb, valid in pending], axis=0)
+            if len(pending) > self.inflight:
+                drain_one()
+        while pending:
+            drain_one()
+        return np.concatenate(done, axis=0)
 
 
 class MIPSIndex:
@@ -299,7 +318,10 @@ def reform_out(
             gold = dict(gold_positives[question])
             gold.setdefault("passage_id", gold.get("id", gold.get("psg_id")))
             gold["score"] = str(0)
-            real_true_id = int(gold["passage_id"])
+            # gold dumps that carry only title/text have no id at all —
+            # keep the gold positive but skip id-based score dedup below
+            if gold["passage_id"] is not None:
+                real_true_id = int(gold["passage_id"])
             positive_ctxs.append(gold)
         for rank in range(topk_ids.shape[1]):
             pid = int(topk_ids[qi, rank])

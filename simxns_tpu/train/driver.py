@@ -169,7 +169,8 @@ class AR2CoTrainer:
     def run(self, num_steps: Optional[int] = None) -> Dict:
         cfg = self.cfg
         target = min(self.cfg.max_steps,
-                     self.global_step + (num_steps or self.cfg.max_steps))
+                     self.global_step + (num_steps if num_steps is not None
+                                         else self.cfg.max_steps))
         it = iter(self.batches())
         t0 = time.time()
         while self.global_step < target:
