@@ -14,6 +14,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -51,14 +52,17 @@ struct Pcg32 {
 };
 
 struct WordGroup {
-  int32_t start;
-  int32_t len;
+  std::vector<int32_t> idx;   // member token positions (may have gaps:
+                              // a continuation joins the previous word
+                              // even across a skipped special — the
+                              // reference/numpy grouping has no
+                              // adjacency requirement, data.py:71-102)
   double weight;
 };
 
-// Group consecutive continuation tokens into words, skipping specials.
-// special/continuation are per-token flags computed on the Python side
-// (id-level lookups stay in Python where the tokenizer lives).
+// Group continuation tokens into words, skipping specials. special/
+// continuation are per-token flags computed on the Python side (id-level
+// lookups stay in Python where the tokenizer lives).
 std::vector<WordGroup> word_groups(const int32_t* ids, int n,
                                    const uint8_t* special,
                                    const uint8_t* contin,
@@ -67,11 +71,10 @@ std::vector<WordGroup> word_groups(const int32_t* ids, int n,
   groups.reserve(n);
   for (int i = 0; i < n; ++i) {
     if (special[i]) continue;
-    if (!groups.empty() && contin[i] &&
-        groups.back().start + groups.back().len == i) {
-      groups.back().len += 1;
+    if (!groups.empty() && contin[i]) {
+      groups.back().idx.push_back(i);
     } else {
-      groups.push_back({i, 1, weights ? weights[i] : 1.0});
+      groups.push_back({{i}, weights ? weights[i] : 1.0});
     }
   }
   return groups;
@@ -81,11 +84,19 @@ void greedy_fill(std::vector<WordGroup>& order, int num_to_predict,
                  int8_t* mask) {
   int taken = 0;
   for (const auto& g : order) {
+    int len = static_cast<int>(g.idx.size());
     if (taken >= num_to_predict) break;
-    if (taken + g.len > num_to_predict) continue;
-    for (int j = 0; j < g.len; ++j) mask[g.start + j] = 1;
-    taken += g.len;
+    if (taken + len > num_to_predict) continue;
+    for (int32_t j : g.idx) mask[j] = 1;
+    taken += len;
   }
+}
+
+// Python's round() (and np's) is round-half-to-even; (int)(x + 0.5) is
+// half-up and diverges on exact halves (e.g. 9 * 0.5 — the dual-mask and
+// decoder streams). nearbyint under the default FE_TONEAREST mode matches.
+int round_count(double x) {
+  return std::min(512, std::max(1, (int)std::nearbyint(x)));
 }
 
 // Work-stealing row loop: one atomic counter, nt threads. For nt<=1 (or
@@ -125,7 +136,7 @@ void whole_word_mask(const int32_t* ids, int n, const uint8_t* special,
   for (int i = static_cast<int>(groups.size()) - 1; i > 0; --i) {
     std::swap(groups[i], groups[rng.bounded(i + 1)]);
   }
-  int num = std::min(512, std::max(1, (int)(n * probability + 0.5)));
+  int num = round_count(n * probability);
   greedy_fill(groups, num, mask);
 }
 
@@ -140,7 +151,7 @@ void keyword_mask(const int32_t* ids, int n, const uint8_t* special,
   Pcg32 rng(seed);
   int n_real = 0;
   for (int i = 0; i < n; ++i) n_real += special[i] ? 0 : 1;
-  int num = std::min(512, std::max(1, (int)(n_real * probability + 0.5)));
+  int num = round_count(n_real * probability);
 
   std::vector<char> alive(groups.size(), 1);
   std::vector<double> cum(groups.size());
@@ -158,11 +169,13 @@ void keyword_mask(const int32_t* ids, int n, const uint8_t* special,
       size_t gi =
           std::lower_bound(cum.begin(), cum.end(), u) - cum.begin();
       if (gi >= groups.size()) gi = groups.size() - 1;
-      while (gi < groups.size() && !alive[gi]) ++gi;
-      if (gi >= groups.size()) continue;
+      // the numpy oracle REJECTS a draw that lands on a dead group
+      // (p=0 there; here only an exact cum-boundary hit can) — do not
+      // redirect to a neighbor, which would bias its distribution
+      if (!alive[gi]) continue;
       const auto& g = groups[gi];
-      for (int j = 0; j < g.len; ++j) mask[g.start + j] = 1;
-      taken += g.len;
+      for (int32_t j : g.idx) mask[j] = 1;
+      taken += static_cast<int>(g.idx.size());
       alive[gi] = 0;
       --alive_count;
     }
@@ -253,6 +266,6 @@ void mask_tokens_batch(int32_t* inputs, const int8_t* mask, int b, int stride,
   });
 }
 
-int fast_collator_abi_version() { return 2; }
+int fast_collator_abi_version() { return 3; }
 
 }  // extern "C"

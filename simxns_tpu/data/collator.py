@@ -200,7 +200,6 @@ class CondenserCollator:
     def dual_mask(self, ids: Sequence[int]):
         """50/50 complementary word masks (``_whole_word_mask_dual``)."""
         m = self.whole_word_mask(ids, probability=0.5)
-        specials = np.array([self.meta.is_special(t) for t in ids], bool)
         dual = np.where(m == 1, 0, 1).astype(np.int8)
         # reference's dual mask marks every non-covered index incl. specials;
         # corruption never applies to specials anyway because mask_tokens
@@ -381,7 +380,12 @@ class CondenserCollator:
         }
 
     def __call__(self, examples: Sequence[Dict]) -> Dict[str, np.ndarray]:
-        if self._native is not None and self.meta.special_table is not None:
+        # the batched native path dereferences all three id->flag tables;
+        # a hand-built TokenMeta may carry only special_table
+        if (self._native is not None
+                and self.meta.special_table is not None
+                and self.meta.contin_table is not None
+                and self.meta.weight_table is not None):
             return self._call_batched(examples)
         streams = {k: [] for k in (
             "text", "query", "gpt", "next_enc", "next_dec")}

@@ -24,15 +24,23 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> Optional[str]:
-    if os.path.exists(_LIB_PATH) and (
+ABI_VERSION = 3
+
+
+def _build(force: bool = False) -> Optional[str]:
+    if not force and os.path.exists(_LIB_PATH) and (
             os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
         return _LIB_PATH
     try:
+        # build to a private temp name, then atomically rename: concurrent
+        # builders (forked dataloader/pytest workers) never expose a
+        # half-written .so to a CDLL in another process
+        tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-pthread",
-             "-o", _LIB_PATH, _SRC],
+             "-o", tmp, _SRC],
             check=True, capture_output=True)
+        os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
     except Exception:
         return None
@@ -44,10 +52,23 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        path = _build()
-        if path is None:
+        lib = None
+        for attempt in ("cached", "rebuild"):
+            path = _build(force=attempt == "rebuild")
+            if path is None:
+                return None
+            try:
+                cand = ctypes.CDLL(path)
+                cand.fast_collator_abi_version.restype = ctypes.c_int
+                if cand.fast_collator_abi_version() == ABI_VERSION:
+                    lib = cand
+                    break
+                # stale .so with a newer mtime than the source (preserved
+                # timestamps): force a rebuild once, else fall back to numpy
+            except OSError:
+                pass                       # corrupt/half-written library
+        if lib is None:
             return None
-        lib = ctypes.CDLL(path)
         i8p = ctypes.POINTER(ctypes.c_int8)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
@@ -76,8 +97,6 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mask_tokens_batch.argtypes = [
             i32p, i8p, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
             ctypes.c_int32, u64p, i64p, ctypes.c_int]
-        lib.fast_collator_abi_version.restype = ctypes.c_int
-        assert lib.fast_collator_abi_version() == 2
         _lib = lib
         return _lib
 

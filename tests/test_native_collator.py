@@ -82,14 +82,31 @@ def test_native_collator_output_matches_numpy_statistics():
     assert set(b_fast) == set(b_slow)
     for k in b_fast:
         assert b_fast[k].shape == b_slow[k].shape, k
-    # same mask budget per stream (counts are deterministic given lengths)
-    for k in ("labels", "decoder_labels", "next_encoder_labels"):
+    # same mask budget per stream (counts are deterministic given lengths;
+    # query/gpt/overlap run at p=0.5 and pin the round-half-to-even parity
+    # — (int)(x+0.5) in the C++ core once masked one extra token there)
+    for k in ("labels", "decoder_labels", "next_encoder_labels",
+              "next_decoder_labels", "query_labels", "gpt_labels",
+              "overlap_encoder_labels", "overlap_decoder_labels"):
         np.testing.assert_array_equal(
             (b_fast[k] != IGNORE_INDEX).sum(1),
             (b_slow[k] != IGNORE_INDEX).sum(1)), k
     # attention masks identical (not RNG-dependent)
     np.testing.assert_array_equal(b_fast["attention_mask"],
                                   b_slow["attention_mask"])
+
+
+def test_native_word_groups_join_across_specials():
+    """The numpy/reference grouping (data.py:71-102) appends a continuation
+    to the previous word even across a skipped special; the native core
+    must treat such a word as one all-or-none group."""
+    ids = np.asarray([10, 11, 3, 12, 20, 30], np.int32)
+    special = np.asarray([0, 0, 1, 0, 0, 0], np.uint8)
+    contin = np.asarray([0, 1, 0, 1, 0, 0], np.uint8)
+    for seed in range(20):
+        m = native.whole_word_mask(ids, special, contin, 0.5, seed=seed)
+        assert m[2] == 0                       # specials never masked
+        assert m[0] == m[1] == m[3], m         # one word, all-or-none
 
 
 def test_native_collator_speedup():
