@@ -95,6 +95,25 @@ class BertConfig:
         if self.gelu not in ("exact", "tanh"):
             raise ValueError(f"BertConfig.gelu must be 'exact' or 'tanh', "
                              f"got {self.gelu!r}")
+        for field, allowed in (
+                ("attention_impl", ("xla", "flash")),
+                ("ffn_impl", ("xla", "fused", "fused_vjp", "int8")),
+                ("proj_impl", ("xla", "int8")),
+                ("layer_impl", ("xla", "fused_int8"))):
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(f"BertConfig.{field} must be one of "
+                                 f"{allowed}, got {v!r}")
+        # every fused FFN/layer kernel computes exact erf GELU in-kernel;
+        # silently running a different activation than cfg.gelu asks for
+        # would drift from the trained params — refuse the combination
+        if self.gelu == "tanh" and (
+                self.ffn_impl != "xla" or self.layer_impl != "xla"):
+            raise ValueError(
+                "gelu='tanh' is only implemented by the XLA composition; "
+                f"ffn_impl={self.ffn_impl!r}/layer_impl={self.layer_impl!r} "
+                "hardcode exact erf GELU — use gelu='exact' with fused "
+                "kernels, or the XLA path with tanh")
 
 
 @dataclasses.dataclass
@@ -209,9 +228,16 @@ class BertSelfAttention(nn.Module):
             q = split(_dense(cfg, h, "query")(hidden))
             k = split(_dense(cfg, h, "key")(hidden))
             v = split(_dense(cfg, h, "value")(hidden))
+        # HF BERT applies dropout to attention probs in train mode
+        # (attention_probs_dropout_prob); probs dropout forces the XLA
+        # attention path (flash never materializes probs)
+        attn_rng = None
+        if not deterministic and cfg.attention_dropout > 0.0:
+            attn_rng = self.make_rng("dropout")
         ctx, probs = multi_head_attention(
             q, k, v, attention_mask,
             impl=cfg.attention_impl, return_probs=output_attention,
+            dropout_rate=cfg.attention_dropout, dropout_rng=attn_rng,
         )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
         if cfg.proj_impl == "int8":

@@ -32,6 +32,8 @@ def _xla_attention(
     bias: Optional[jax.Array],
     *,
     return_probs: bool,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     # q, k, v: [B, H, S, D]; bias broadcastable to [B, H, S, S]
     depth = q.shape[-1]
@@ -41,8 +43,17 @@ def _xla_attention(
     if bias is not None:
         scores = scores + bias.astype(scores.dtype)
     probs = jax.nn.softmax(scores, axis=-1)
+    ctx_probs = probs
+    if dropout_rng is not None and dropout_rate > 0.0:
+        # HF-style probs dropout (modeling_bert BertSelfAttention): applied
+        # AFTER softmax, inverted scaling; returned probs stay pre-dropout
+        # (matches HF's output_attentions contract)
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        ctx_probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum(
-        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+        "bhqk,bhkd->bhqd", ctx_probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32
     ).astype(v.dtype)
     return out, (probs if return_probs else None)
 
@@ -55,11 +66,18 @@ def multi_head_attention(
     *,
     impl: str = "xla",
     return_probs: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Scaled dot-product attention over [B, H, S, D] tensors.
 
     ``attention_mask`` is the BERT-style [B, S] 1/0 key mask; it is converted
     to an additive bias exactly as HF does (0 -> -1e9 pre-softmax).
+    With ``dropout_rng`` set, attention probs get inverted dropout at
+    ``dropout_rate`` before the value matmul (HF BertSelfAttention's
+    ``attention_probs_dropout_prob`` — train-mode only; callers pass None
+    in eval). Probs dropout needs materialized probs, so it forces the XLA
+    path (flash never materializes them).
     Returns ``(context [B,H,S,D], probs [B,H,S,S] or None)``.
     """
     bias = None
@@ -67,8 +85,11 @@ def multi_head_attention(
         neg = jnp.asarray(-1e9, dtype=jnp.float32)
         bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
 
-    if impl == "flash" and not return_probs:
+    drop = dropout_rng is not None and dropout_rate > 0.0
+    if impl == "flash" and not return_probs and not drop:
         from simxns_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, attention_mask), None
-    return _xla_attention(q, k, v, bias, return_probs=return_probs)
+    return _xla_attention(q, k, v, bias, return_probs=return_probs,
+                          dropout_rate=dropout_rate if drop else 0.0,
+                          dropout_rng=dropout_rng if drop else None)

@@ -133,7 +133,16 @@ def fused_encoder_layer_int8(
         interpret = INTERPRET or jax.devices()[0].platform != "tpu"
     b, s, h = x.shape
     f = params["w1"].shape[1]
-    n_seq = seqs_per_tile
+    # same tiling guard as int8_ffn/int8_dense (ops/fused_ffn.py): Mosaic
+    # blocks must tile the lane dim — fall back to the XLA expression for
+    # shapes the kernel can't block instead of failing at lowering
+    # (interpret mode has no tiling constraint; tests run tiny dims there)
+    if not interpret and (h % 128 or f % 128):
+        return layer_reference(x, attention_mask, params,
+                               num_heads=num_heads,
+                               layer_norm_eps=layer_norm_eps
+                               ).astype(x.dtype)
+    n_seq = max(1, seqs_per_tile)
     while b % n_seq:
         n_seq //= 2
     tm = n_seq * s

@@ -257,6 +257,19 @@ def _load_prepared(args, data_cfg) -> _Corpus:
                    positive_rows=positive_rows)
 
 
+def _int8_view_cfg(bert_cfg):
+    """Fused-int8 encode view of a training config, or None if the config
+    is incompatible (the fused kernels hardcode exact erf GELU —
+    BertConfig refuses gelu='tanh' with fused impls)."""
+    if bert_cfg.gelu != "exact":
+        print("WARNING: --fast-encode/--fast-teacher need gelu='exact' "
+              "(the fused kernels compute erf in-kernel); staying on the "
+              "bf16 composition.", file=sys.stderr)
+        return None
+    return bert_cfg.replace(layer_impl="fused_int8", ffn_impl="xla",
+                            proj_impl="xla")
+
+
 def _gold_warm(data, k: int):
     """Synthetic "gold" mining result for model warm-up (the reference
     warms from separately-trained checkpoints, e.g.
@@ -431,11 +444,13 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     # stays on the bf16 composition.
     enc_model = de
     if args.fast_encode:
-        enc_model = BiEncoder(BiEncoderConfig(
-            bert=de_cfg.replace(layer_impl="fused_int8"),
-            share_weight=cfg.retriever.share_weight,
-            pooling=cfg.retriever.pooling,
-            projection_dim=proj))
+        view = _int8_view_cfg(de_cfg)
+        if view is not None:
+            enc_model = BiEncoder(BiEncoderConfig(
+                bert=view,
+                share_weight=cfg.retriever.share_weight,
+                pooling=cfg.retriever.pooling,
+                projection_dim=proj))
     p_enc = CorpusEncoder(
         lambda p, i, m: enc_model.apply(p, i, m, method="encode_passage"),
         mesh, chunk_size=min(1024, max(64, len(data.corpus_ids) // 4)))
@@ -496,9 +511,10 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     # training step stays on the differentiable bf16 composition.
     ce_teacher = ce
     if args.fast_teacher:
-        ce_teacher = CrossEncoder(CrossEncoderConfig(
-            bert=ce_cfg.replace(layer_impl="fused_int8"),
-            binary_head=cfg.reranker.binary_head))
+        view = _int8_view_cfg(ce_cfg)
+        if view is not None:
+            ce_teacher = CrossEncoder(CrossEncoderConfig(
+                bert=view, binary_head=cfg.reranker.binary_head))
     r_step = make_ar2_retriever_step(de, ce_teacher, tx_de, mesh,
                                      adv_lambda=cfg.adv_lambda)
     c_step = make_reranker_step(ce, tx_ce, mesh, group_size=1 + negs)
@@ -616,8 +632,9 @@ def run_kd(name: str, cfg: KDRecipeConfig, args) -> dict:
     # through the fused int8 view of the warmed teacher params.
     kd_teacher = teacher
     if args.fast_teacher:
-        kd_teacher = CrossEncoder(CrossEncoderConfig(
-            bert=t_cfg.replace(layer_impl="fused_int8")))
+        view = _int8_view_cfg(t_cfg)
+        if view is not None:
+            kd_teacher = CrossEncoder(CrossEncoderConfig(bert=view))
     step = make_kd_step(student, tx, mesh, cfg.teacher_type,
                         kd_type=cfg.kd_type, temperature=cfg.temperature,
                         ce_weight=cfg.ce_weight, kd_weight=cfg.kd_weight,

@@ -276,6 +276,37 @@ def test_dropout_training_mode():
     assert l_nd[0] == l_nd[1]  # deterministic without dropout
 
 
+def test_attention_dropout_applies_in_train_mode():
+    """attention_dropout (HF attention_probs_dropout_prob) perturbs the
+    forward in train mode — fresh mask per step — and is off in eval."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(10)
+    cfg = CFG.replace(hidden_dropout=0.0, attention_dropout=0.4)
+    model = BiEncoder(BiEncoderConfig(bert=cfg))
+    batch = _de_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch["q_ids"][:2],
+                        batch["q_mask"][:2], batch["ctx_ids"][:2],
+                        batch["ctx_mask"][:2])
+    tx = make_adamw(0.0, total_steps=0)       # lr 0 isolates the rng effect
+    dev = shard_batch({k: v for k, v in batch.items()
+                       if k not in ("joint_ids", "joint_mask")}, mesh)
+    params2 = jax.tree.map(jnp.copy, params)
+    step_d = make_biencoder_step(model, tx, mesh, dropout=True)
+    state = TrainState.create(params, tx)
+    losses = []
+    for _ in range(3):
+        state, m = step_d(state, dev)
+        losses.append(float(m["loss"]))
+    assert len(set(np.round(losses, 6))) == 3   # probs dropout is live
+    step_nd = make_biencoder_step(model, tx, mesh, dropout=False)
+    state2 = TrainState.create(params2, tx)
+    l_nd = []
+    for _ in range(2):
+        state2, m = step_nd(state2, dev)
+        l_nd.append(float(m["loss"]))
+    assert l_nd[0] == l_nd[1]                   # eval mode: no attn dropout
+
+
 def test_colbert_step_trains():
     from simxns_tpu.models import ColBERT, ColBERTConfig
     from simxns_tpu.train import make_colbert_step
