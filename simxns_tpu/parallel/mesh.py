@@ -146,7 +146,10 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     else:
         def put(x):
             x = np.asarray(x)
-            return jax.device_put(x, batch_sharding(mesh, ndim=max(x.ndim, 1)))
+            if x.ndim == 0:
+                # scalars can't shard over a batch axis — replicate them
+                return jax.device_put(x, replicated_sharding(mesh))
+            return jax.device_put(x, batch_sharding(mesh, ndim=x.ndim))
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -15,8 +15,12 @@ collectives (grad psum, context all-gathers) from the shardings.
   (``co_training_wiki_train.py:236-256``).
 - :func:`make_ar2_retriever_step` — AR2 KL-to-reranker + adversarial reward
   (``co_training_wiki_train.py:194-235``). The adv term is a per-device sum
-  whose gradients DDP *averages* in the reference; here it's divided by the
-  data-parallel size so the update matches the 8-GPU recipe on any mesh.
+  whose gradients DDP *averages* in the reference, i.e. its effective
+  scale is (global adv sum) / world_size. By default the divisor is the
+  CURRENT mesh's dp size (the same run on the same mesh shape matches the
+  reference); to pin the exact 8-GPU recipe scale on a different mesh,
+  pass ``adv_world_size=8``. (Published launchers run --normal_loss,
+  adv_lambda=0, where the term is off entirely.)
 """
 
 from __future__ import annotations
@@ -31,7 +35,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from simxns_tpu.losses.contrastive import grouped_nll, in_batch_nll
 from simxns_tpu.losses.distill import ar2_retriever_loss
 from simxns_tpu.parallel.collectives import (
-    all_gather_full_grad, all_gather_local_grad, gather_positive_offsets)
+    all_gather_full_grad, all_gather_local_grad)
 from simxns_tpu.parallel.mesh import (DATA_AXIS, REPLICA_AXIS, dp_axes,
                                       dp_size)
 
@@ -88,8 +92,6 @@ def with_grad_accum(loss_fn: Callable, micro_steps: int) -> Callable:
                     jax.tree_util.tree_map(jnp.add, aux_sum, aux),
                     jax.tree_util.tree_map(jnp.add, grads_sum, grads)), None
 
-        zero_like = lambda t: jax.tree_util.tree_map(
-            lambda x: jnp.zeros(x.shape, x.dtype), t)
         (l0, a0), g0 = grad_fn(
             params, jax.tree_util.tree_map(lambda x: x[0], micro))
         init = (l0, a0, g0)
@@ -175,6 +177,8 @@ def make_biencoder_step(
     multislice = isinstance(dp, tuple)
     if negatives_scope not in ("global", "slice"):
         raise ValueError(f"bad negatives_scope {negatives_scope!r}")
+    if grad_mode not in ("full", "local"):
+        raise ValueError(f"bad grad_mode {grad_mode!r}")
     slice_scope = negatives_scope == "slice" and multislice
 
     def _rngs(step):
@@ -201,9 +205,18 @@ def make_biencoder_step(
                   else all_gather_full_grad)
 
         def shard_fn(q_ids, q_mask, ctx_ids, ctx_mask, pos_idx):
+            # fold the device's dp coordinate into the dropout key: the
+            # closed-over key is identical on every shard, and same key +
+            # same local shapes would mean bit-identical dropout masks on
+            # all shards (the reference's DDP ranks have independent RNG)
+            local_rngs = rngs
+            if local_rngs:
+                idx = jax.lax.axis_index(dp)
+                local_rngs = {k: jax.random.fold_in(v, idx)
+                              for k, v in rngs.items()}
             q_emb, ctx_emb = model.apply(params, q_ids, q_mask,
                                          ctx_ids, ctx_mask, deterministic=det,
-                                         rngs=rngs)
+                                         rngs=local_rngs)
             g_ctx = gather(ctx_emb, gather_axis)
             # batch["positive_idx"] is already a *global* flat index and the
             # gathered ctx matrix is in global device-major order, so no
@@ -318,6 +331,7 @@ def make_ar2_retriever_step(
     auto_state: bool = False,
     dropout: bool = False,
     dropout_seed: int = 2,
+    adv_world_size: Optional[int] = None,
 ) -> Callable:
     """AR2 retriever step: KL to frozen reranker + adversarial reward.
 
@@ -339,7 +353,10 @@ def make_ar2_retriever_step(
     teacher path (its activations carry no JVP tracer), so the encode-only
     guard does not fire.
     """
-    n_data = dp_size(mesh)
+    # reference scale: global adv sum / DDP world size. Default = this
+    # mesh's dp size; adv_world_size pins a specific recipe's world (see
+    # module docstring).
+    n_data = adv_world_size if adv_world_size is not None else dp_size(mesh)
 
     def loss_fn(params, ce_params, batch, rngs, det):
         n, m, lj = batch["joint_ids"].shape
