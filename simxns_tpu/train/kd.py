@@ -20,7 +20,7 @@ PROD pipeline driver.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ from simxns_tpu.losses.contrastive import in_batch_nll
 from simxns_tpu.losses.distill import (
     bi_logit_loss, colbert_teacher_scores, dkd_loss, kd_logit_mse_loss,
     kd_softmax_loss, prob_loss)
-from simxns_tpu.parallel.mesh import DATA_AXIS, dp_axes
+from simxns_tpu.parallel.mesh import dp_axes
 from simxns_tpu.train.steps import sharding_kwargs
 
 
@@ -171,16 +171,20 @@ def make_kd_step(
         t_scores = jax.lax.stop_gradient(ce_out["logits"])
         soft = soft_kd_loss(kd_type, s_scores, t_scores, zeros, temperature,
                             dkd_alpha, dkd_beta)
+        # LwF is an INDEPENDENT term in the reference (CrossBERTKDLoss:
+        # CE_WEIGHT*hard + KD_WEIGHT*soft + LwF_WEIGHT*lwf) — returned
+        # separately so kd_weight=0 doesn't zero it and soft_loss
+        # telemetry stays pure
+        lwf = jnp.asarray(0.0, jnp.float32)
         if lwf_weight and "student_init" in teacher_params:
             o_q, o_ctx = student_model.apply(
                 teacher_params["student_init"], batch["q_ids"],
                 batch["q_mask"], batch["ctx_ids"], batch["ctx_mask"],
                 deterministic=True)
             o_scores = jax.lax.stop_gradient(grouped_scores(o_q, o_ctx))
-            soft = soft + (lwf_weight / max(kd_weight, 1e-9)) * soft_kd_loss(
-                kd_type, s_scores, o_scores, zeros, temperature,
-                dkd_alpha, dkd_beta)
-        return hard, soft, correct
+            lwf = soft_kd_loss(kd_type, s_scores, o_scores, zeros,
+                               temperature, dkd_alpha, dkd_beta)
+        return hard, soft, lwf, correct
 
     def colbert_branch(params, teacher_params, batch):
         q, ctx = student_forward(params, batch)
@@ -202,19 +206,26 @@ def make_kd_step(
         if teacher_type == "dual_encoder":
             hard, soft, correct = de_branch(params, teacher_params, batch)
         elif teacher_type == "cross_encoder":
-            hard, soft, correct = ce_branch(params, teacher_params, batch)
+            hard, soft, lwf, correct = ce_branch(params, teacher_params,
+                                                 batch)
+            loss = ce_weight * hard + kd_weight * soft + lwf_weight * lwf
+            return loss, {"hard_loss": hard, "soft_loss": soft,
+                          "lwf_loss": lwf, "correct": correct}
         elif teacher_type == "colbert":
             hard, soft, correct = colbert_branch(params, teacher_params, batch)
         elif teacher_type == "double":
-            h1, s1, correct = de_branch(params, teacher_params, batch)
-            h2, s2, _ = ce_branch(params, teacher_params, batch)
+            h1, s1, c1 = de_branch(params, teacher_params, batch)
+            h2, s2, lwf2, c2 = ce_branch(params, teacher_params, batch)
             l1 = ce_weight * h1 + kd_weight * s1
-            l2 = ce_weight * h2 + kd_weight * s2
+            l2 = ce_weight * h2 + kd_weight * s2 + lwf_weight * lwf2
             # reference picks the max loss of the two teachers (:227-234)
+            # and reports the picked teacher's metrics
+            pick_ce = l2 > l1
             loss = jnp.maximum(l1, l2)
-            return loss, {"hard_loss": h1, "soft_loss": s1,
-                          "correct": correct,
-                          "teacher_pick": (l2 > l1).astype(jnp.int32)}
+            return loss, {"hard_loss": jnp.where(pick_ce, h2, h1),
+                          "soft_loss": jnp.where(pick_ce, s2, s1),
+                          "correct": jnp.where(pick_ce, c2, c1),
+                          "teacher_pick": pick_ce.astype(jnp.int32)}
         else:
             raise ValueError(f"unknown teacher_type {teacher_type!r}")
         loss = ce_weight * hard + kd_weight * soft

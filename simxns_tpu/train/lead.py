@@ -21,7 +21,7 @@ the stacked [L, ...] hiddens), so the every-``save_steps`` re-draw
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ from simxns_tpu.losses.lead import (
     attention_map_kl, grouped_slice, layer_score_distill_loss,
     layer_scores_from_cls, pair_kl, query_doc_attention_maps, virt_loss)
 from simxns_tpu.models.colbert import maxsim_score
-from simxns_tpu.parallel.mesh import DATA_AXIS, dp_axes
+from simxns_tpu.parallel.mesh import dp_axes
 from simxns_tpu.train.steps import sharding_kwargs
 
 
@@ -63,8 +63,11 @@ def ce_attention_targets(ce_attn_sel: jax.Array,   # [Lsel, B*M, H, Lj, Lj]
     targets = jax.vmap(                              # over Lsel
         jax.vmap(gather_one, in_axes=(0, 0, 0)),     # over B*M
         in_axes=(0, None, None))(att, rows, cols)
+    # callers pass CLS-dropped student maps: valid rows/cols are the
+    # CONTENT tokens only — q_len-2 and d_len-2 (both lengths include
+    # their tower's CLS+SEP), matching the reference's [1:len-1] slices
     q_valid = (jnp.arange(sq)[None, :] < (q_len_bm - 2)[:, None])
-    d_valid = (jnp.arange(sd)[None, :] < d_len[:, None])
+    d_valid = (jnp.arange(sd)[None, :] < (d_len - 2)[:, None])
     return targets, q_valid, d_valid
 
 
@@ -223,9 +226,14 @@ def make_lead_step(
                         and outs["ce"]["attn"] is not None \
                         and outs["db"]["q_hid"] is not None:
                     # CE attention -> student q x d map KL
-                    # (LEAD/util.py:467-502 attention_map_loss)
-                    q_hid = outs["db"]["q_hid"]          # [Lsel, Q, Sq, H]
-                    d_hid = outs["db"]["d_hid"]          # [Lsel, Q*m, Sd, H]
+                    # (LEAD/util.py:467-502 attention_map_loss). The
+                    # teacher targets index CONTENT tokens (joint row 1+i,
+                    # doc col q_len+j); the student towers carry CLS at
+                    # position 0 — drop it (and align the doc side the
+                    # same way) so student token i faces teacher token i,
+                    # matching the reference's [1:qlen-1]/[1:dlen-1] slices.
+                    q_hid = outs["db"]["q_hid"][:, :, 1:]   # [Lsel,Q,Sq-1,H]
+                    d_hid = outs["db"]["d_hid"][:, :, 1:]   # [Lsel,Q*m,Sd-1,H]
                     lsel, qn, sq, hh = q_hid.shape
                     sd = d_hid.shape[2]
                     d_g = d_hid.reshape(lsel, qn, m, sd, hh)

@@ -13,7 +13,7 @@ import jax
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from simxns_tpu.parallel.mesh import DATA_AXIS, dp_axes
+from simxns_tpu.parallel.mesh import dp_axes
 from simxns_tpu.train.steps import sharding_kwargs
 
 
@@ -35,12 +35,7 @@ def make_condenser_step(model, tx: optax.GradientTransformation, mesh,
     shard = NamedSharding(mesh, P(dp_axes(mesh)))
 
     def step(state, batch):
-        if dropout:
-            rngs = {"dropout": jax.random.fold_in(
-                jax.random.PRNGKey(dropout_seed), state.step)}
-            det = False
-        else:
-            rngs, det = {}, True
+        rngs, det = dropout_rngs(dropout, dropout_seed, state.step)
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rngs, det)
         new_state = state.apply_gradients(grads, tx)
@@ -76,12 +71,7 @@ def make_electra_step(model, tx: optax.GradientTransformation, mesh,
         b2 = dict(batch)
         b2["decoder_input_ids"] = replaced_decoder
         b2["input_ids"] = replaced_input
-        if dropout:
-            rngs = {"dropout": jax.random.fold_in(
-                jax.random.PRNGKey(dropout_seed), state.step)}
-            det = False
-        else:
-            rngs, det = {}, True
+        rngs, det = dropout_rngs(dropout, dropout_seed, state.step)
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, b2, rngs, det)
         new_state = state.apply_gradients(grads, tx)

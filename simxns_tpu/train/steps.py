@@ -132,6 +132,16 @@ def sharding_kwargs(mesh, in_shardings, out_shardings=None) -> dict:
 _sharding_kwargs = sharding_kwargs
 
 
+def dropout_rngs(dropout: bool, seed: int, step):
+    """Per-step dropout rng derivation shared by every step factory:
+    ``({} , True)`` in eval mode, ``({'dropout': fold_in(PRNGKey(seed),
+    step)}, False)`` in train mode — reproducible, fresh mask per step."""
+    if not dropout:
+        return {}, True
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+    return {"dropout": key}, False
+
+
 def _jit_step(fn, mesh, state_like=None, auto_state: bool = False):
     """jit a ``(state, batch) -> (state, metrics)`` step over the mesh.
 
@@ -182,10 +192,7 @@ def make_biencoder_step(
     slice_scope = negatives_scope == "slice" and multislice
 
     def _rngs(step):
-        if not dropout:
-            return {}, True
-        key = jax.random.fold_in(jax.random.PRNGKey(dropout_seed), step)
-        return {"dropout": key}, False
+        return dropout_rngs(dropout, dropout_seed, step)
 
     def loss_full(params, batch, rngs, det):
         q_emb, ctx_emb = model.apply(
@@ -306,12 +313,7 @@ def make_reranker_step(ce_model, tx: optax.GradientTransformation, mesh,
         return loss, {"correct": correct}
 
     def step(state, batch):
-        if dropout:
-            rngs = {"dropout": jax.random.fold_in(
-                jax.random.PRNGKey(dropout_seed), state.step)}
-            det = False
-        else:
-            rngs, det = {}, True
+        rngs, det = dropout_rngs(dropout, dropout_seed, state.step)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rngs, det)
         new_state = state.apply_gradients(grads, tx)
@@ -387,12 +389,7 @@ def make_ar2_retriever_step(
     shard = NamedSharding(mesh, P(dp_axes(mesh)))
 
     def step(de_state, ce_params, batch):
-        if dropout:
-            rngs = {"dropout": jax.random.fold_in(
-                jax.random.PRNGKey(dropout_seed), de_state.step)}
-            det = False
-        else:
-            rngs, det = {}, True
+        rngs, det = dropout_rngs(dropout, dropout_seed, de_state.step)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             de_state.params, ce_params, batch, rngs, det)
         new_state = de_state.apply_gradients(grads, tx)

@@ -125,6 +125,36 @@ def _lead_batch(rng, n=8, m=2):
     }
 
 
+def test_ce_attention_targets_index_content_tokens():
+    """Pins the (row, col) contract of the CE->student attention targets:
+    teacher row 1+i (joint content query token i), col q_len+j (joint doc
+    content token j, pack_joint appends ctx[1:]), valid region = content
+    tokens only (len-2 each side) — the reference's [1:qlen-1]/[1:dlen-1]
+    slices (LEAD/util.py:467-502)."""
+    from simxns_tpu.train.lead import ce_attention_targets
+
+    lj, heads = 12, 2
+    # att[r, c] = r * 100 + c, identical per head -> mean keeps the pattern
+    base = (np.arange(lj)[:, None] * 100 + np.arange(lj)[None, :]).astype(
+        np.float32)
+    att = np.broadcast_to(base, (1, 1, heads, lj, lj))   # [Lsel=1, B*M=1, ...]
+    q_len = np.asarray([4], np.int32)       # CLS + 2 content + SEP
+    d_len = np.asarray([5], np.int32)       # CLS + 3 content + SEP
+    sq, sd = 3, 4
+    targets, q_valid, d_valid = ce_attention_targets(
+        jnp.asarray(att), jnp.asarray(q_len), jnp.asarray(d_len), sq, sd)
+    t = np.asarray(targets)[0, 0]
+    for i in range(sq):
+        for j in range(sd):
+            r = min(1 + i, lj - 1)
+            c = min(int(q_len[0]) + j, lj - 1)
+            assert t[i, j] == r * 100 + c, (i, j)
+    np.testing.assert_array_equal(np.asarray(q_valid)[0],
+                                  [True, True, False])        # q_len-2 = 2
+    np.testing.assert_array_equal(np.asarray(d_valid)[0],
+                                  [True, True, True, False])  # d_len-2 = 3
+
+
 def test_lead_step_four_models():
     mesh = create_mesh()
     rng = np.random.default_rng(4)
