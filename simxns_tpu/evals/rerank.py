@@ -15,6 +15,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# jitted CE scorers keyed by (model class, config repr) — see rerank_topk
+_SCORE_CACHE: dict = {}
+
 
 def build_joint_inputs(query_ids: np.ndarray, corpus_ids: np.ndarray,
                        topk_ids: np.ndarray, max_joint_length: int,
@@ -58,10 +61,19 @@ def rerank_topk(ce_model, ce_params, joint_ids: np.ndarray,
             ce_model.cfg, bert=ce_model.cfg.bert.replace(
                 layer_impl="fused_int8")))
 
-    @jax.jit
-    def score(params, ids, mask):
-        out = ce_model.apply(params, ids, mask, deterministic=True)
-        return out["logits"]
+    # cache the jitted scorer across calls (multi-checkpoint evals call
+    # rerank_topk repeatedly; a fresh jit closure per call would pay the
+    # full CE compile — minutes on remote-compile backends — every time)
+    key = (type(ce_model).__name__, repr(ce_model.cfg))
+    cached = _SCORE_CACHE.get(key)
+    if cached is None:
+        def score_fn(params, ids, mask):
+            out = ce_model.apply(params, ids, mask, deterministic=True)
+            return out["logits"]
+
+        cached = jax.jit(score_fn)
+        _SCORE_CACHE[key] = cached
+    score = cached
 
     flat = joint_ids.reshape(q * k, lj)
     mask = (flat != pad_id).astype(np.int32)

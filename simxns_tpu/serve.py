@@ -87,6 +87,10 @@ class DenseRetriever:
             ids, mask = self._tokenize(titles, texts, self.max_ctx_length)
         emb = self._p_encoder(self.params, ids, mask)
         self.index.build(emb)
+        # the fused search fns bake valid_n (the live row count) in at
+        # trace time; a re-index to a same-padded shape would NOT retrace
+        # — drop them like MIPSIndex.build drops its own _search_cache
+        self._fused = {}
         return n
 
     # --- querying ----------------------------------------------------------
@@ -122,18 +126,27 @@ class DenseRetriever:
 
     def search(self, queries: Sequence[str], k: int = 10
                ) -> List[List[SearchHit]]:
+        if self.index.embeddings is None:
+            raise RuntimeError(
+                "index not built — call index_corpus() first")
         ids, mask = self._tokenize(list(queries), None, self.max_q_length)
         nq = len(queries)
-        pad = (-nq) % self.query_batch
+        qb = self.query_batch
+        pad = (-nq) % qb
         if pad:
             ids = np.pad(ids, ((0, pad), (0, 0)),
                          constant_values=self.tokenizer.pad_token_id)
             mask = np.pad(mask, ((0, pad), (0, 0)))
+        # chunk by the serving batch so EVERY request size reuses the one
+        # cached executable (a padded one-shot call would retrace per
+        # distinct size); chunk dispatches pipeline before the transfers
         fn = self._fused_search(k)
-        scores, pids = fn(self.params, ids, mask, self.index.embeddings,
-                          self.index._scales_arg())
-        scores = np.asarray(scores[:nq], np.float32)
-        ids = np.asarray(pids[:nq])
+        pending = [fn(self.params, ids[s:s + qb], mask[s:s + qb],
+                      self.index.embeddings, self.index._scales_arg())
+                   for s in range(0, nq + pad, qb)]
+        scores = np.concatenate(
+            [np.asarray(s, np.float32) for s, _ in pending])[:nq]
+        ids = np.concatenate([np.asarray(p) for _, p in pending])[:nq]
         out: List[List[SearchHit]] = []
         for qi in range(len(queries)):
             hits = []

@@ -41,6 +41,31 @@ def test_dense_retriever_end_to_end():
                            for i in (3, 11, 29)], k=3)
     assert [h[0].passage_id for h in batch_hits] == [3, 11, 29]
 
+    # re-index invalidates the fused search executables: the new corpus's
+    # live row count must be visible even when the padded index shape is
+    # unchanged (valid_n is baked in at trace time)
+    passages2 = {i: (f"fresh doc token{i + 100} text", f"t {i}")
+                 for i in range(48)}
+    assert r.index_corpus(passages2) == 48
+    hits2 = r.search(["t 45 fresh doc token145 text"], k=5)
+    assert hits2[0][0].passage_id == 45
+
+
+def test_search_before_index_raises():
+    mesh = create_mesh()
+    tok = HashTokenizer(vocab_size=512)
+    model = BiEncoder(BiEncoderConfig(
+        bert=BertConfig.tiny(vocab_size=512), share_weight=True))
+    dummy = np.ones((2, 8), np.int32)
+    params = model.init(jax.random.PRNGKey(1), dummy, np.ones_like(dummy),
+                        dummy, np.ones_like(dummy))
+    r = DenseRetriever(model, params, tok, mesh, max_q_length=12,
+                       max_ctx_length=24, block_size=16, encode_chunk=16)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="index not built"):
+        r.search(["anything"], k=3)
+
 
 def test_from_checkpoint_roundtrip(tmp_path):
     from simxns_tpu.train import TrainState, make_adamw
