@@ -74,7 +74,12 @@ def load_wiki_json(path: str, require_negatives: bool = True) -> List[RetrievalE
             continue
 
         def mk(ctx):
-            return Passage(int(ctx["passage_id"]), float(ctx.get("score", 0)),
+            # reform_out keeps gold positives whose dumps carry only
+            # title/text (passage_id None) — the reference never int()s
+            # positive ids (util_wiki.py create_passage); use -1 sentinel
+            pid = ctx.get("passage_id")
+            return Passage(int(pid) if pid is not None else -1,
+                           float(ctx.get("score", 0)),
                            ctx.get("title") or "", ctx.get("text") or "")
 
         out.append(RetrievalExample(
@@ -257,19 +262,19 @@ class RetrievalDataset:
         end = len(order) - (len(order) % batch_size if drop_last else 0)
         for s in range(0, end, batch_size):
             idx = order[s: s + batch_size]
-            if drop_last and len(idx) < batch_size:
-                break
             yield self.collator([self.examples[i] for i in idx], self.rng)
 
 
 def load_qrels(path: str) -> Dict[str, list]:
     """MARCO qrels: ``qid\\tpid`` 2-col (the reference's preprocessed form,
     ``inference_DE_marco.py:446-464``) or official 4-col TREC
-    ``qid\\t0\\tpid\\trel`` (rel>0 rows only). Returns qid -> [pids]."""
+    ``qid 0 pid rel`` (rel>0 rows only; official qrels are SPACE-separated
+    — split on any whitespace like load_trec_qrels). Returns qid -> [pids].
+    """
     out: Dict[str, list] = {}
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
-            parts = line.strip().split("\t")
+            parts = line.split()
             if len(parts) >= 4:
                 qid, pid, rel = parts[0], parts[2], int(parts[3])
                 if rel <= 0:

@@ -80,20 +80,21 @@ class MinedDataset:
         return pos_id, chosen
 
     def _joint(self, q_row: np.ndarray, ctx_rows: np.ndarray) -> np.ndarray:
-        """[M, Lj] joint inputs: query tokens ++ ctx[1:] (drop ctx CLS)."""
+        """[M, Lj] joint inputs: query tokens ++ ctx CONTENT (drop the ctx
+        CLS and trailing SEP — pack_joint / util_wiki.py:648-658)."""
         lj = self.max_joint_length
         q_len = int((q_row != self.pad_id).sum())
         m, lc = ctx_rows.shape
         out = np.full((m, lj), self.pad_id, np.int32)
         out[:, :q_len] = q_row[:q_len]
-        body = ctx_rows[:, 1:]
-        room = lj - q_len
-        take = min(room, body.shape[1])
+        body = ctx_rows[:, 1:].copy()
+        lens = (body != self.pad_id).sum(1)
+        rows_i = np.arange(m)
+        last = np.clip(lens - 1, 0, body.shape[1] - 1)
+        is_sep = (lens > 0) & (body[rows_i, last] == self.sep_id)
+        body[rows_i[is_sep], last[is_sep]] = self.pad_id
+        take = min(lj - q_len, body.shape[1])
         out[:, q_len: q_len + take] = body[:, :take]
-        if room < body.shape[1]:
-            # truncated: force a trailing SEP like pack_joint
-            keep = (out[:, lj - 1] != self.pad_id)
-            out[keep, lj - 1] = self.sep_id
         return out
 
     def batches(self, batch_size: int, shuffle: bool = True,

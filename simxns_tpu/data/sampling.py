@@ -91,7 +91,13 @@ def sample_hard_negatives(
     while len(selected) < k:
         cur_ids = ids[alive]
         cur_p = probs[alive]
-        cur_p = cur_p / cur_p.sum()
+        cur_total = cur_p.sum()
+        if cur_total <= 0 or not np.isfinite(cur_total):
+            # remaining weights underflowed to 0 (exp(-a*d^2) with a large
+            # score gap) — fall back to uniform like the pre-loop guard
+            cur_p = np.ones(len(cur_ids), dtype=np.float64)
+            cur_total = float(len(cur_ids))
+        cur_p = cur_p / cur_total
         draws = rng.choice(cur_ids, size=k, replace=True, p=cur_p)
         selected.update(int(d) for d in draws)
         alive = np.array([i not in selected for i in ids.tolist()], dtype=bool)

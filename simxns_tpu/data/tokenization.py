@@ -95,18 +95,23 @@ def load_hf_tokenizer(name_or_path: str):
 
 def pack_joint(question_ids: Sequence[int], ctx_ids: Sequence[int],
                sep_token_id: int, max_length: int) -> List[int]:
-    """Cross-encoder input: question ids + ctx ids sans leading CLS.
+    """Cross-encoder input: question ids + ctx CONTENT tokens.
 
     Replicates ``remove_special_token`` + concat (``util_wiki.py:648-658``):
-    if the ctx ends with SEP keep it, strip only the leading CLS.
+    the reference strips the ctx's leading CLS AND its trailing SEP
+    (``token_id[1:-1]`` when it ends with SEP), so the joint ends on the
+    last content token. No SEP is re-added on truncation either — the
+    reference pads joints to the batch max without truncating
+    (``util_wiki.py:681-684``); the fixed ``max_length`` is this port's
+    static-shape constraint.
     """
     ctx = list(ctx_ids)
     if ctx and ctx[0] != sep_token_id:
         ctx = ctx[1:]
+    if ctx and ctx[-1] == sep_token_id:
+        ctx = ctx[:-1]
     joint = list(question_ids) + ctx
-    if len(joint) > max_length:
-        joint = joint[: max_length - 1] + [sep_token_id]
-    return joint
+    return joint[:max_length]
 
 
 def pad_to(ids: Sequence[int], length: int, pad_id: int = 0) -> List[int]:

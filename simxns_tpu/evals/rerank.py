@@ -30,12 +30,14 @@ def build_joint_inputs(query_ids: np.ndarray, corpus_ids: np.ndarray,
         q_len = int((q_row != pad_id).sum())
         rows = corpus_ids[topk_ids[qi]]
         out[qi, :, :q_len] = q_row[:q_len]
-        body = rows[:, 1:]
+        body = rows[:, 1:].copy()
+        lens = (body != pad_id).sum(1)
+        ri = np.arange(body.shape[0])
+        last = np.clip(lens - 1, 0, body.shape[1] - 1)
+        is_sep = (lens > 0) & (body[ri, last] == sep_id)
+        body[ri[is_sep], last[is_sep]] = pad_id   # strip ctx trailing SEP
         take = min(max_joint_length - q_len, body.shape[1])
         out[qi, :, q_len: q_len + take] = body[:, :take]
-        if take < body.shape[1]:
-            live = out[qi, :, -1] != pad_id
-            out[qi, live, -1] = sep_id
     return out
 
 

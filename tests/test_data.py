@@ -201,3 +201,20 @@ def test_mined_dataset_fast_path():
     np.testing.assert_array_equal(batch["joint_ids"][0, 0, :q_len],
                                   batch["q_ids"][0, :q_len])
     assert batch["joint_ids"][0, 0, q_len] == corpus_ids[pos_pid][1]
+
+
+def test_pack_joint_strips_ctx_specials():
+    """The reference's remove_special_token (util_wiki.py:648-658) strips
+    the ctx's leading CLS AND trailing SEP — the joint ends on the last
+    content token, and truncation does not re-add a SEP."""
+    from simxns_tpu.data.tokenization import pack_joint
+
+    q = [101, 5, 6, 102]                  # [CLS q q SEP]
+    ctx = [101, 7, 8, 9, 102]             # [CLS d d d SEP]
+    assert pack_joint(q, ctx, sep_token_id=102, max_length=16) == \
+        [101, 5, 6, 102, 7, 8, 9]
+    # truncation: plain cut, no SEP appended
+    assert pack_joint(q, ctx, sep_token_id=102, max_length=6) == \
+        [101, 5, 6, 102, 7, 8]
+    # ctx without trailing SEP (already truncated upstream): only CLS drops
+    assert pack_joint(q, [101, 7, 8], 102, 16) == [101, 5, 6, 102, 7, 8]
