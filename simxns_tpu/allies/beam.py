@@ -99,6 +99,7 @@ def allies_answer(
     beam.append(BeamNode(question, [question], [doc], answer, score))
 
     current = beam
+    best_seen = max(beam, key=lambda nd: nd.score)
     for _ in range(cfg.beam_depth):
         current = []
         for node in beam:
@@ -118,10 +119,16 @@ def allies_answer(
                                         answer, score))
         current.sort(key=lambda n: n.score, reverse=True)
         beam = current[: cfg.beam_size]
+        if current and current[0].score > best_seen.score:
+            best_seen = current[0]
         for node in beam:
             if node.score >= cfg.threshold:
                 return node.answer, current, counters
+        if not beam:
+            break          # no expansions anywhere — nothing left to grow
 
     current.sort(key=lambda n: n.score, reverse=True)
-    final = current[0] if current else beam[0]
+    # an empty final round (LLM returned no expansions) falls back to the
+    # best node seen so far — the seed answer at worst
+    final = current[0] if current else best_seen
     return final.answer, current, counters

@@ -149,11 +149,13 @@ class QueryExpander:
 
         if mode == "batch-uniform":
             mode = f"{index % n + 1}-th"
+            gold_query_prob = 0.0           # util.py:172 forces it off
         elif mode == "batch-uniform-gold":
             i = index % (n + 1) + 1
             if i == n + 1:
                 return gold_query
             mode = f"{i}-th"
+            gold_query_prob = 0.0           # util.py:178-179
 
         if rng.random() < gold_query_prob:
             return gold_query
@@ -185,7 +187,10 @@ class QueryExpander:
             k = int(mode.split("-part")[0])
             start = int(n / self.total_part * (k - 1))
             end = int(n / self.total_part * k)
-            pick = end if start == end else int(rng.integers(start + 1, end + 1))
+            # util.py:184-187: i = end+1 when the bucket is empty
+            # (start == end), else randint(start+1, end) inclusive
+            pick = (end + 1 if start == end
+                    else int(rng.integers(start + 1, end + 1)))
             pick = min(pick, n)
             return cands[int(order[pick - 1])]
         raise ValueError(f"unknown selection mode {mode!r}")
@@ -197,9 +202,13 @@ class QueryExpander:
 
     def expand_corpus_entry(self, psg_id: int, text: str,
                             top_k_query: int) -> str:
-        """Inference-time corpus expansion: append the first k queries."""
-        qs = self.queries.get(int(psg_id), [])[:top_k_query]
+        """Inference-time corpus expansion: append exactly k queries —
+        deduplicated, then REPEATED to length k when fewer exist
+        (``util.py:256-258`` ``(query_list*top_k)[:top_k]``)."""
+        qs = list(dict.fromkeys(self.queries.get(int(psg_id), [])))
+        if qs and len(qs) < top_k_query:
+            qs = (qs * top_k_query)[:top_k_query]
         out = text
-        for q in qs:
+        for q in qs[:top_k_query]:
             out = f"{out}{self.delimiter}{q}"
         return out

@@ -31,6 +31,9 @@ from simxns_tpu.ops.attention import _xla_attention
 
 NEG = -1e9
 
+# jitted decode loops keyed by (cfg repr, batch, length, sampling knobs)
+_GEN_CACHE: dict = {}
+
 
 @dataclasses.dataclass(frozen=True)
 class Seq2SeqConfig:
@@ -94,7 +97,7 @@ class DecoderLayer(nn.Module):
         x = _Attention(cfg, name="cross_attention")(
             x, enc_hidden, cross_bias, deterministic=deterministic)
         inter = _dense(cfg, cfg.intermediate_size, "intermediate")(x)
-        inter = nn.gelu(inter, approximate=False)
+        inter = nn.gelu(inter, approximate=cfg.gelu == "tanh")
         out = _dense(cfg, cfg.hidden_size, "output")(inter)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
@@ -192,37 +195,54 @@ def generate(model: Seq2Seq, params, enc_ids, enc_mask, rng_key, *,
     t_max = max_length or cfg.max_target_length
     b = enc_ids.shape[0]
     n = num_return_sequences
+
+    # The whole decode loop runs inside ONE jitted function with params and
+    # encoder arrays as ARGUMENTS — a scan body that closed over them would
+    # bake the full parameter pytree into the jaxpr as constants (CLAUDE.md:
+    # GB-scale captures hang this backend's remote compile). Cached per
+    # (model cfg, shapes, sampling knobs) so repeated generation calls
+    # reuse one executable.
+    key = (repr(cfg), b * n, t_max, top_k, float(temperature))
+    fn = _GEN_CACHE.get(key)
+    if fn is None:
+        def decode_all(params, enc_ids_r, enc_mask_r, rng_key):
+            enc_hidden = model.apply(params, enc_ids_r, enc_mask_r,
+                                     method="encode")
+            tokens0 = jnp.full((b * n, t_max), cfg.pad_id, jnp.int32)
+            tokens0 = tokens0.at[:, 0].set(cfg.bos_id)
+            done0 = jnp.zeros((b * n,), jnp.bool_)
+
+            def step(carry, t):
+                tokens, done, key = carry
+                key, sub = jax.random.split(key)
+                dec_mask = (jnp.arange(t_max, dtype=jnp.int32)[None] <= t)
+                dec_mask = jnp.broadcast_to(
+                    dec_mask, tokens.shape).astype(jnp.int32)
+                logits = model.apply(params, tokens, dec_mask, enc_hidden,
+                                     enc_mask_r, method="decode")
+                step_logits = jax.lax.dynamic_slice_in_dim(
+                    logits, t, 1, axis=1)[:, 0]            # [B*n, V]
+                kth = jax.lax.top_k(step_logits, top_k)[0][:, -1:]
+                filtered = jnp.where(step_logits >= kth, step_logits, NEG)
+                nxt = jax.random.categorical(sub, filtered / temperature,
+                                             axis=-1)
+                nxt = jnp.where(done, cfg.pad_id, nxt.astype(jnp.int32))
+                tokens = jax.lax.dynamic_update_slice_in_dim(
+                    tokens, nxt[:, None], t + 1, axis=1)
+                done = done | (nxt == cfg.eos_id)
+                return (tokens, done, key), None
+
+            (tokens, _, _), _ = jax.lax.scan(
+                step, (tokens0, done0, rng_key),
+                jnp.arange(t_max - 1, dtype=jnp.int32))
+            return tokens
+
+        fn = jax.jit(decode_all)
+        _GEN_CACHE[key] = fn
+
     enc_ids_r = jnp.repeat(enc_ids, n, axis=0)
     enc_mask_r = jnp.repeat(enc_mask, n, axis=0)
-
-    enc_hidden = model.apply(params, enc_ids_r, enc_mask_r,
-                             method="encode")
-
-    tokens0 = jnp.full((b * n, t_max), cfg.pad_id, jnp.int32)
-    tokens0 = tokens0.at[:, 0].set(cfg.bos_id)
-    done0 = jnp.zeros((b * n,), jnp.bool_)
-
-    def step(carry, t):
-        tokens, done, key = carry
-        key, sub = jax.random.split(key)
-        dec_mask = (jnp.arange(t_max, dtype=jnp.int32)[None] <= t)
-        dec_mask = jnp.broadcast_to(dec_mask, tokens.shape).astype(jnp.int32)
-        logits = model.apply(params, tokens, dec_mask, enc_hidden,
-                             enc_mask_r, method="decode")
-        step_logits = jax.lax.dynamic_slice_in_dim(
-            logits, t, 1, axis=1)[:, 0]                    # [B*n, V]
-        kth = jax.lax.top_k(step_logits, top_k)[0][:, -1:]
-        filtered = jnp.where(step_logits >= kth, step_logits, NEG)
-        nxt = jax.random.categorical(sub, filtered / temperature, axis=-1)
-        nxt = jnp.where(done, cfg.pad_id, nxt.astype(jnp.int32))
-        tokens = jax.lax.dynamic_update_slice_in_dim(
-            tokens, nxt[:, None], t + 1, axis=1)
-        done = done | (nxt == cfg.eos_id)
-        return (tokens, done, key), None
-
-    (tokens, _, _), _ = jax.lax.scan(
-        step, (tokens0, done0, rng_key),
-        jnp.arange(t_max - 1, dtype=jnp.int32))
+    tokens = fn(params, enc_ids_r, enc_mask_r, rng_key)
     return tokens.reshape(b, n, t_max)
 
 
