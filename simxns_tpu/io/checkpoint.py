@@ -24,10 +24,24 @@ def _path(directory: str, name: str, step: int) -> str:
     return os.path.join(os.path.abspath(directory), f"{name}-{step}")
 
 
+# one shared checkpointer: constructing a StandardCheckpointer per save
+# rebuilds its thread pool every call; blocking stays — save->immediate
+# restore (mid-run resume tests, refresh exports consumed in-process) must
+# see a complete artifact. Orbax's async overlap is a later opt-in.
+_CHECKPOINTER: Optional[ocp.StandardCheckpointer] = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CHECKPOINTER
+    if _CHECKPOINTER is None:
+        _CHECKPOINTER = ocp.StandardCheckpointer()
+    return _CHECKPOINTER
+
+
 def save_checkpoint(directory: str, state: Any, step: int,
                     name: str = "checkpoint") -> str:
     path = _path(directory, name, step)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
     return path
@@ -36,8 +50,7 @@ def save_checkpoint(directory: str, state: Any, step: int,
 def restore_checkpoint(directory: str, target: Any, step: int,
                        name: str = "checkpoint") -> Any:
     path = _path(directory, name, step)
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target=target)
+    return _checkpointer().restore(path, target=target)
 
 
 def latest_step(directory: str, name: str = "checkpoint") -> Optional[int]:
@@ -50,16 +63,20 @@ def latest_step(directory: str, name: str = "checkpoint") -> Optional[int]:
     return max(steps) if steps else None
 
 
-def export_encoder_only(params: dict, drop_prefixes: tuple = ("c_head",
-                        "query_head", "gpt_head", "next_head",
-                        "overlap_head")) -> dict:
+def export_encoder_only(params: dict,
+                        drop_prefixes: Optional[tuple] = None) -> dict:
     """MASTER artifact export: strip decoder-head params, keep the encoder.
 
     Mirrors ``save_pretrained`` deleting head weights so the released
     checkpoint is a plain BERT (``MASTER/pretrain/modeling.py:199-207``).
+    Default prefixes come from the Condenser model itself (HEAD_NAMES) so
+    a new head is never silently shipped in the "encoder-only" artifact.
     """
+    if drop_prefixes is None:
+        from simxns_tpu.models.condenser import HEAD_NAMES
+        drop_prefixes = HEAD_NAMES
 
-    def keep(tree, prefix=""):
+    def keep(tree):
         if not isinstance(tree, dict):
             return tree
         return {k: keep(v) for k, v in tree.items()

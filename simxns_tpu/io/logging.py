@@ -30,7 +30,10 @@ class MetricLogger:
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
             self._fh = open(os.path.join(output_dir, "metrics.jsonl"), "a")
-        if tensorboard:
+        if tensorboard and not output_dir:
+            logger.warning("tensorboard=True needs output_dir (an implicit "
+                           "./runs/<ts> CWD dump is never wanted); skipped")
+        elif tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
@@ -51,12 +54,19 @@ class MetricLogger:
 
     @contextmanager
     def timed(self, phase: str):
-        """Wall-clock phase timer (train window / corpus encode / search)."""
+        """Wall-clock phase timer (train window / corpus encode / search).
+
+        try/finally: a phase that RAISES still records its elapsed time —
+        the failed (usually longest) phase is exactly the one the
+        per-phase evidence must not lose.
+        """
         t0 = time.time()
-        yield
-        dt = time.time() - t0
-        self.phase_times[phase] = self.phase_times.get(phase, 0.0) + dt
-        self.log(0, {"seconds": dt}, phase=f"timer/{phase}")
+        try:
+            yield
+        finally:
+            dt = time.time() - t0
+            self.phase_times[phase] = self.phase_times.get(phase, 0.0) + dt
+            self.log(0, {"seconds": dt}, phase=f"timer/{phase}")
 
     @contextmanager
     def trace(self, name: str = "trace"):
@@ -65,7 +75,10 @@ class MetricLogger:
         View with TensorBoard's profile plugin or Perfetto."""
         import jax
 
-        path = os.path.join(self.output_dir or ".", "traces", name)
+        if not self.output_dir:
+            raise ValueError("trace() needs MetricLogger(output_dir=...) — "
+                             "refusing to scatter ./traces into the CWD")
+        path = os.path.join(self.output_dir, "traces", name)
         os.makedirs(path, exist_ok=True)
         with jax.profiler.trace(path):
             yield

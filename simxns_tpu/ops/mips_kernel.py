@@ -84,25 +84,16 @@ def _pad_candidates(flat_s: jax.Array, flat_i: jax.Array, k: int):
     return flat_s, flat_i
 
 
-def _mips_kernel(valid_n_ref, q_ref, c_ref, s_out_ref, i_out_ref, *,
-                 block_n: int, block_q: int, bucket: int):
-    """One (corpus-block, query-tile) program: matmul + fused bucket-argmax.
-
-    Outputs are laid out ``[num_blocks, Q, block_n/bucket]`` so each program
-    writes a full-minor-dim ``(1, block_q, nb)`` tile (lane dim == array
-    minor dim, which Mosaic accepts for nb < 128).
-    """
-    n_idx = pl.program_id(0)
+def _bucket_reduce(scores, valid_n, n_idx, s_out_ref, i_out_ref, *,
+                   block_n: int, block_q: int, bucket: int):
+    """Shared kernel epilogue: mask rows past ``valid_n``, reduce each
+    ``bucket``-wide lane group to (max score, first-argmax global id), and
+    write the program's ``(1, block_q, nb)`` output tile. Used by BOTH the
+    bf16 and int8 kernels so the (>=max -> min index) tie-break and the
+    _NEG masking can never diverge between the two engines."""
     nb = block_n // bucket
-
-    q = q_ref[...]                                    # [block_q, H] bf16
-    c = c_ref[...]                                    # [block_n, H] bf16
-    scores = jax.lax.dot_general(
-        q, c, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # [block_q, block_n]
-
     col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_n), 1)
-    valid = n_idx * block_n + col < valid_n_ref[0]
+    valid = n_idx * block_n + col < valid_n
     scores = jnp.where(valid, scores, jnp.float32(_NEG))
 
     s3 = scores.reshape(block_q, nb, bucket)
@@ -116,6 +107,24 @@ def _mips_kernel(valid_n_ref, q_ref, c_ref, s_out_ref, i_out_ref, *,
 
     s_out_ref[0] = best
     i_out_ref[0] = ids
+
+
+def _mips_kernel(valid_n_ref, q_ref, c_ref, s_out_ref, i_out_ref, *,
+                 block_n: int, block_q: int, bucket: int):
+    """One (corpus-block, query-tile) program: matmul + fused bucket-argmax.
+
+    Outputs are laid out ``[num_blocks, Q, block_n/bucket]`` so each program
+    writes a full-minor-dim ``(1, block_q, nb)`` tile (lane dim == array
+    minor dim, which Mosaic accepts for nb < 128).
+    """
+    n_idx = pl.program_id(0)
+    q = q_ref[...]                                    # [block_q, H] bf16
+    c = c_ref[...]                                    # [block_n, H] bf16
+    scores = jax.lax.dot_general(
+        q, c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [block_q, block_n]
+    _bucket_reduce(scores, valid_n_ref[0], n_idx, s_out_ref, i_out_ref,
+                   block_n=block_n, block_q=block_q, bucket=bucket)
 
 
 try:  # import at module scope so interpret mode works without TPU deps
@@ -180,27 +189,12 @@ def _mips_kernel_int8(valid_n_ref, q_ref, qs_ref, c_ref, cs_ref,
     (q8 @ c8^T) * qs * cs, then the same fused bucket-argmax reduction.
     """
     n_idx = pl.program_id(0)
-    nb = block_n // bucket
-
     acc = jax.lax.dot_general(
         q_ref[...], c_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)             # [block_q, block_n]
     scores = acc.astype(jnp.float32) * qs_ref[...] * cs_ref[...]
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_n), 1)
-    valid = n_idx * block_n + col < valid_n_ref[0]
-    scores = jnp.where(valid, scores, jnp.float32(_NEG))
-
-    s3 = scores.reshape(block_q, nb, bucket)
-    best = jnp.max(s3, axis=-1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (block_q, nb, bucket), 2)
-    in_bucket = jnp.min(
-        jnp.where(s3 >= best[..., None], lane, bucket), axis=-1)
-    bucket_base = jax.lax.broadcasted_iota(jnp.int32, (block_q, nb), 1)
-    ids = n_idx * block_n + bucket_base * bucket + in_bucket
-
-    s_out_ref[0] = best
-    i_out_ref[0] = ids
+    _bucket_reduce(scores, valid_n_ref[0], n_idx, s_out_ref, i_out_ref,
+                   block_n=block_n, block_q=block_q, bucket=bucket)
 
 
 def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -213,6 +207,19 @@ def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     codes = jnp.clip(jnp.round(x.astype(jnp.float32) / s[:, None]),
                      -127, 127).astype(jnp.int8)
     return codes, s
+
+
+def _finalize(cand_s, cand_i, k, id_offset, qp, nq):
+    """Shared host-side epilogue (bf16 + int8 paths): flatten the per-block
+    candidate tiles, exact top-k over survivors, apply the shard id offset,
+    and mark sub-NEG_INF rows with -1 ids."""
+    flat_s = jnp.moveaxis(cand_s, 0, 1).reshape(qp, -1)
+    flat_i = jnp.moveaxis(cand_i, 0, 1).reshape(qp, -1)
+    flat_s, flat_i = _pad_candidates(flat_s, flat_i, k)
+    top_s, sel = jax.lax.top_k(flat_s, k)
+    top_i = jnp.take_along_axis(flat_i, sel, axis=1)
+    top_i = jnp.where(top_s > NEG_INF / 2, top_i + id_offset, -1)
+    return top_s[:nq], top_i[:nq].astype(jnp.int32)
 
 
 def fused_mips_topk_int8(
@@ -299,13 +306,7 @@ def fused_mips_topk_int8(
     )(jnp.asarray(valid_n, jnp.int32).reshape(1), q8,
       qs.reshape(-1, 1), codes, row_scales.reshape(1, -1))
 
-    flat_s = jnp.moveaxis(cand_s, 0, 1).reshape(qp, -1)
-    flat_i = jnp.moveaxis(cand_i, 0, 1).reshape(qp, -1)
-    flat_s, flat_i = _pad_candidates(flat_s, flat_i, k)
-    top_s, sel = jax.lax.top_k(flat_s, k)
-    top_i = jnp.take_along_axis(flat_i, sel, axis=1)
-    top_i = jnp.where(top_s > NEG_INF / 2, top_i + id_offset, -1)
-    return top_s[:nq], top_i[:nq].astype(jnp.int32)
+    return _finalize(cand_s, cand_i, k, id_offset, qp, nq)
 
 
 def fused_mips_topk(
@@ -357,10 +358,4 @@ def fused_mips_topk(
 
     # [num_n, Qp, nb] -> [Qp, num_n*nb]; one exact top-k over survivors.
     qp = queries.shape[0]
-    flat_s = jnp.moveaxis(cand_s, 0, 1).reshape(qp, -1)
-    flat_i = jnp.moveaxis(cand_i, 0, 1).reshape(qp, -1)
-    flat_s, flat_i = _pad_candidates(flat_s, flat_i, k)
-    top_s, sel = jax.lax.top_k(flat_s, k)
-    top_i = jnp.take_along_axis(flat_i, sel, axis=1)
-    top_i = jnp.where(top_s > NEG_INF / 2, top_i + id_offset, -1)
-    return top_s[:nq], top_i[:nq].astype(jnp.int32)
+    return _finalize(cand_s, cand_i, k, id_offset, qp, nq)
