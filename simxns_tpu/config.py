@@ -135,11 +135,14 @@ class MasterPretrainConfig:
     mlm_probability: float = 0.30
     decoder_mlm_probability: float = 0.50
     max_seq_length: int = 128
+    # run_pretrain.sh: lr 3e-4, warmup_ratio 0.1, per-device 128 x 8 GPUs
+    # x grad-accum 2 = global batch 2048, 40 epochs (total_steps here is a
+    # step-count stand-in for the epoch budget; warmup = 10% of it)
     optim: OptimConfig = dataclasses.field(
-        default_factory=lambda: OptimConfig(learning_rate=1e-4,
-                                            warmup_steps=4000,
+        default_factory=lambda: OptimConfig(learning_rate=3e-4,
+                                            warmup_steps=8_000,
                                             total_steps=80_000))
-    global_batch: int = 512
+    global_batch: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)
@@ -204,10 +207,6 @@ class AlliesRecipeConfig:
     summarize: bool = False
     topk: int = 5
     ask_question_num: int = 2
-
-
-def _base_bert() -> BertConfig:
-    return BertConfig()          # BERT/ERNIE-base shape
 
 
 RECIPES = {

@@ -199,12 +199,18 @@ class Condenser(nn.Module):
 
 
 def in_batch_nearest(cls_hiddens: jax.Array) -> jax.Array:
-    """Each row's nearest *other* row by dot product
-    (``trainer.py:in_batch_nearest`` — the ELECTRA CLS-swap corruption)."""
+    """Each row's nearest row by dot product with the diagonal ZEROED —
+    not -inf-masked (``trainer.py:30`` multiplies by ``1 - eye``).
+
+    REFERENCE QUIRK, replicated deliberately: when every off-diagonal dot
+    is negative the argmax returns the row itself (no CLS swap for that
+    example), and exact zero ties resolve to the lowest index. An
+    -inf mask would always force a real other row — different corruption
+    stream than the reference's."""
     sims = jnp.einsum("bh,ch->bc", cls_hiddens, cls_hiddens,
                       preferred_element_type=jnp.float32)
     n = sims.shape[0]
-    sims = jnp.where(jnp.eye(n, dtype=bool), -jnp.inf, sims)
+    sims = sims * (1.0 - jnp.eye(n, dtype=sims.dtype))
     return cls_hiddens[jnp.argmax(sims, axis=1)]
 
 

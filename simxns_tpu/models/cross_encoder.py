@@ -80,6 +80,10 @@ class CrossEncoder(nn.Module):
             binary = nn.Dense(2, dtype=cfg.bert.dtype,
                               param_dtype=cfg.bert.param_dtype,
                               name="binary_classifier")(out.pooled)  # [N*M, 2]
+            if group_size:
+                # grouped like the rank logits — Reranker_2 returns
+                # binary_logits.view(N, M, 2) (SimANS models.py:623,633)
+                binary = binary.reshape(-1, group_size, 2)
             results["binary_logits"] = binary
 
         if output_attentions:

@@ -50,7 +50,6 @@ def _pool(output, attention_mask, pooling: str) -> jax.Array:
 
 class _Tower(nn.Module):
     cfg: BiEncoderConfig
-    name_prefix: str = ""
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None, *,

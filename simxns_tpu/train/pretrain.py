@@ -14,7 +14,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from simxns_tpu.parallel.mesh import dp_axes
-from simxns_tpu.train.steps import sharding_kwargs
+from simxns_tpu.train.steps import dropout_rngs, sharding_kwargs
 
 
 def make_condenser_step(model, tx: optax.GradientTransformation, mesh,

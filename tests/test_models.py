@@ -101,7 +101,10 @@ def test_cross_encoder_grouping():
     out = ce.apply(params, ids, mask, group_size=m)
     assert out["logits"].shape == (n, m)
     assert out["per_layer_logits"].shape == (CFG.num_layers, n, m)
-    assert out["binary_logits"].shape == (n * m, 2)
+    # grouped like the rank logits (Reranker_2 returns .view(N, M, 2))
+    assert out["binary_logits"].shape == (n, m, 2)
+    out_flat = ce.apply(params, ids, mask)         # ungrouped path stays flat
+    assert out_flat["binary_logits"].shape == (n * m, 2)
 
 
 def test_colbert_maxsim():
@@ -110,10 +113,14 @@ def test_colbert_maxsim():
     params = model.init(jax.random.PRNGKey(16), ids, mask, ids, mask)
     q, d = model.apply(params, ids, mask, ids, mask)
     assert q.shape == (4, 16, 32)
-    # cosine mode: embeddings of valid tokens are unit-norm
-    norms = np.linalg.norm(np.asarray(q), axis=-1)
-    np.testing.assert_allclose(norms[:, :8], 1.0, atol=1e-3)
-    np.testing.assert_allclose(norms[:, 8:], 0.0, atol=1e-6)
+    # cosine mode: QUERY tokens are unit-norm at every position incl.
+    # padding (reference quirk: query_emb normalizes with no mask, PROD
+    # models.py:169-173); DOC padding is masked to zero (:180)
+    q_norms = np.linalg.norm(np.asarray(q), axis=-1)
+    np.testing.assert_allclose(q_norms, 1.0, atol=1e-3)
+    d_norms = np.linalg.norm(np.asarray(d), axis=-1)
+    np.testing.assert_allclose(d_norms[:, :8], 1.0, atol=1e-3)
+    np.testing.assert_allclose(d_norms[:, 8:], 0.0, atol=1e-6)
 
     scores = maxsim_score(q, d)
     assert scores.shape == (4, 4)
