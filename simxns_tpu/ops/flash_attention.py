@@ -152,10 +152,9 @@ def _reshape_in(q, k, v, attention_mask):
     qf = q.reshape(b * h, s, d)
     kf = k.reshape(b * h, s, d)
     vf = v.reshape(b * h, s, d)
-    if attention_mask is None:
-        mask = jnp.ones((b, s), jnp.int32)
-    else:
-        mask = attention_mask.astype(jnp.int32)
+    # flash_attention synthesizes a ones mask before any fused call, so
+    # attention_mask is always an array here
+    mask = attention_mask.astype(jnp.int32)
     # (B, 1, S): Mosaic requires the last-two block dims to be (8,128)-tiled
     # or full; a (1, S) block over (B, S) violates that, (1, 1, S) is full.
     return qf, kf, vf, mask[:, None, :]

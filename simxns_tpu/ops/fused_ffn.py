@@ -32,6 +32,12 @@ from jax.experimental.pallas import tpu as pltpu
 # Flip in tests to run under the Pallas interpreter on CPU.
 INTERPRET = False
 
+
+def _interp() -> bool:
+    return INTERPRET or jax.devices()[0].platform != "tpu"
+
+
+
 _TILE_M = 256
 
 
@@ -111,8 +117,7 @@ def _ffn_call(x2d: jax.Array, w1, b1, w2, b2, *, tile_m: int,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused(tile_m, x2d, w1, b1, w2, b2):
     return _ffn_call(x2d, w1, b1, w2, b2, tile_m=tile_m,
-                     interpret=INTERPRET or
-                     jax.devices()[0].platform != "tpu")
+                     interpret=_interp())
 
 
 def _fused_fwd(tile_m, x2d, w1, b1, w2, b2):
@@ -188,7 +193,7 @@ def int8_ffn(x: jax.Array, w1: jax.Array, b1: jax.Array,
     w1q, s1 = quantize_weight(w1)
     w2q, s2 = quantize_weight(w2)
     x2d = x.reshape(m, h)
-    interpret = INTERPRET or jax.devices()[0].platform != "tpu"
+    interpret = _interp()
     y = pl.pallas_call(
         _ffn_int8_kernel,
         grid=(m // tile,),
@@ -245,7 +250,7 @@ def int8_dense(x: jax.Array, w: jax.Array, b: jax.Array, *,
         y = jnp.dot(x, w.astype(dt), preferred_element_type=jnp.float32)
         return y.astype(dt) + b.astype(dt)
     wq, s = quantize_weight(w)
-    interpret = INTERPRET or jax.devices()[0].platform != "tpu"
+    interpret = _interp()
     y = pl.pallas_call(
         _dense_int8_kernel,
         grid=(m // tile,),
@@ -403,9 +408,6 @@ def _train_tiles(m: int, h: int, f: int):
         return None
     return tile, fb
 
-
-def _interp() -> bool:
-    return INTERPRET or jax.devices()[0].platform != "tpu"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))

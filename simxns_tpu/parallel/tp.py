@@ -47,7 +47,11 @@ def _spec_for(path, leaf) -> P:
         if parent == "decoder":          # MLM vocab projection
             return P(None, MODEL_AXIS)
         return P()
-    if last == "bias" and leaf.ndim == 1 and parent in _COLUMN_KERNELS:
+    if last == "bias" and leaf.ndim == 1 and (
+            parent in _COLUMN_KERNELS or parent == "decoder"):
+        # column-parallel biases shard with their kernels — incl. the MLM
+        # decoder's [V] bias (a replicated bias added to vocab-sharded
+        # logits would force a reshard on the pretrain hot path)
         return P(MODEL_AXIS)
     return P()
 
