@@ -111,20 +111,21 @@ def marco_mrr_at_k(
 ) -> float:
     """MS MARCO MRR@k: qid -> ranked pid list vs qid -> relevant pid set.
 
-    Questions missing from qrels are skipped (the reference evaluates only
-    dev queries present in ``qrels.dev.tsv``).
+    REFERENCE CONTRACT (``inference_DE_marco.py:542``): the denominator is
+    the number of JUDGED queries (len(qrels)), not the number ranked —
+    judged queries missing from the run drag the score down instead of
+    silently inflating it.
     """
-    total, count = 0.0, 0
+    total = 0.0
     for qid, ranked in ranked_ids.items():
         if qid not in qrels:
             continue
         rel = set(qrels[qid])
-        count += 1
         for rank, pid in enumerate(ranked[:k]):
             if pid in rel:
                 total += 1.0 / (rank + 1)
                 break
-    return total / max(count, 1)
+    return total / max(len(qrels), 1)
 
 
 def marco_recall_at_k(
@@ -132,17 +133,20 @@ def marco_recall_at_k(
     qrels: Mapping[str, Iterable[int]],
     k: int,
 ) -> float:
-    """Recall@k averaged over queries (|retrieved∩rel| / |rel|)."""
-    total, count = 0.0, 0
+    """MS MARCO recall@k: BINARY any-hit per query over len(qrels).
+
+    REFERENCE CONTRACT (``inference_DE_marco.py:525-549``): a query counts
+    1 if ANY relevant pid appears in its top-k (not the fractional
+    |retrieved∩rel|/|rel|), and the denominator is the judged-query count.
+    """
+    hits = 0
     for qid, ranked in ranked_ids.items():
         if qid not in qrels:
             continue
         rel = set(qrels[qid])
-        if not rel:
-            continue
-        count += 1
-        total += len(rel.intersection(ranked[:k])) / len(rel)
-    return total / max(count, 1)
+        if any(pid in rel for pid in ranked[:k]):
+            hits += 1
+    return hits / max(len(qrels), 1)
 
 
 def trec_ndcg_at_k(
@@ -150,10 +154,12 @@ def trec_ndcg_at_k(
     graded_qrels: Mapping[str, Mapping[int, int]],
     k: int = 10,
 ) -> float:
-    """Graded nDCG@k (TREC-DL style), standard ideal-DCG normalization.
-
-    Native replacement for the reference's pytrec_eval call
-    (``CAPSTONE/utils/evaluate_trec.py:30+``).
+    """Graded nDCG@k with trec_eval's LINEAR gain (gain = rel, not
+    2^rel - 1) — pytrec_eval's ``ndcg_cut`` is linear, and this function
+    replaces the reference's pytrec_eval call
+    (``CAPSTONE/utils/evaluate_trec.py:30+``); exponential gain would not
+    be comparable to published TREC-DL numbers. (The two coincide on
+    binary qrels.)
     """
     total, count = 0.0, 0
     for qid, ranked in ranked_ids.items():
@@ -162,11 +168,11 @@ def trec_ndcg_at_k(
             continue
         count += 1
         dcg = sum(
-            (2 ** grades.get(pid, 0) - 1) / math.log2(rank + 2)
+            grades.get(pid, 0) / math.log2(rank + 2)
             for rank, pid in enumerate(ranked[:k])
         )
         ideal = sorted(grades.values(), reverse=True)[:k]
-        idcg = sum((2 ** g - 1) / math.log2(r + 2) for r, g in enumerate(ideal))
+        idcg = sum(g / math.log2(r + 2) for r, g in enumerate(ideal))
         total += dcg / idcg if idcg > 0 else 0.0
     return total / max(count, 1)
 
@@ -179,12 +185,12 @@ def write_eval_result(path: str, top_k_hits: Sequence[float],
     """
     import json
 
-    def at(k):
-        return top_k_hits[k - 1] if len(top_k_hits) >= k else (
-            top_k_hits[-1] if top_k_hits else 0.0)
-
-    payload = {"top1": at(1), "top5": at(5), "top20": at(20),
-               "top100": at(100), "result_dict": get_metrics(results_list)}
+    # keys beyond the retrieval depth are OMITTED, not padded with the
+    # last curve value — a top20-depth eval must not publish a "top100"
+    # field (the reference indexes top_k_hits[99] and fails loudly)
+    payload = {f"top{k}": top_k_hits[k - 1]
+               for k in (1, 5, 20, 100) if len(top_k_hits) >= k}
+    payload["result_dict"] = get_metrics(results_list)
     with open(path, "w", encoding="utf-8") as f:
         json.dump(payload, f, indent=2)
     return payload

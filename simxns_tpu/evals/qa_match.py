@@ -61,8 +61,13 @@ def has_answer(answers: Sequence[str], text: str, match_type: str = "string") ->
         for answer in answers:
             asw = _answer_words(answer)
             n, m = len(words), len(asw)
+            # REFERENCE QUIRK (dpr_utils.py:324-326), replicated: an
+            # answer tokenizing to [] matches EVERY passage — the sliding
+            # window `[] == text[i:i]` is True at i=0. Skipping it would
+            # change the mined-positive distribution for noisy answer
+            # lists containing empty/punctuation-only strings.
             if m == 0:
-                continue
+                return True
             for i in range(n - m + 1):
                 if tuple(words[i : i + m]) == asw:
                     return True

@@ -40,7 +40,9 @@ def ar2_retriever_loss(
     """AR2 retriever objective. Returns (loss, aux dict)."""
     s = retriever_scores.astype(jnp.float32)
     if scale_scores is not None:
-        s = s / scale_scores
+        # softmax(scores / sqrt(H)) when scale_simmila is set
+        # (co_training_wiki_train.py:203-205) — callers pass 1/sqrt(H)
+        s = s * scale_scores
     p_de = jax.nn.softmax(s, axis=1)
 
     logits = jax.lax.stop_gradient(reranker_logits.astype(jnp.float32))

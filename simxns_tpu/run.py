@@ -515,8 +515,13 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
         if view is not None:
             ce_teacher = CrossEncoder(CrossEncoderConfig(
                 bert=view, binary_head=cfg.reranker.binary_head))
-    r_step = make_ar2_retriever_step(de, ce_teacher, tx_de, mesh,
-                                     adv_lambda=cfg.adv_lambda)
+    r_step = make_ar2_retriever_step(
+        de, ce_teacher, tx_de, mesh, adv_lambda=cfg.adv_lambda,
+        temperature=cfg.temperature_normal,
+        # --scale_simmila: softmax(scores / sqrt(H))
+        # (co_training_wiki_train.py:203-205)
+        scale_scores=(1.0 / float(de_cfg.hidden_size) ** 0.5
+                      if cfg.scale_simmila else None))
     c_step = make_reranker_step(ce, tx_ce, mesh, group_size=1 + negs)
     history = [res.top_k_hits[0]]
 

@@ -77,11 +77,15 @@ def test_marco_metrics():
 
 
 def test_trec_ndcg():
+    # pytrec_eval's ndcg_cut uses LINEAR gain (gain = rel), which this
+    # replaces; exponential 2^rel-1 would not match published TREC numbers
     ranked = {"q": [1, 2, 3]}
     qrels = {"q": {1: 3, 3: 1}}
-    dcg = (2 ** 3 - 1) / math.log2(2) + (2 ** 1 - 1) / math.log2(4)
-    idcg = (2 ** 3 - 1) / math.log2(2) + (2 ** 1 - 1) / math.log2(3)
+    dcg = 3 / math.log2(2) + 1 / math.log2(4)
+    idcg = 3 / math.log2(2) + 1 / math.log2(3)
     assert abs(trec_ndcg_at_k(ranked, qrels, 10) - dcg / idcg) < 1e-12
+    # binary qrels: linear == exponential
+    assert abs(trec_ndcg_at_k({"q": [1]}, {"q": {1: 1}}, 5) - 1.0) < 1e-12
 
 
 def test_simple_tokenizer():
