@@ -72,5 +72,11 @@ def teacher_better_qids(
 
 
 def select_examples(examples: Sequence, qids: Set[str]) -> list:
-    """Filter retrieval examples to a qid subset."""
-    return [ex for ex in examples if str(ex.q_id) in qids]
+    """Filter retrieval examples to a qid subset.
+
+    Both sides are coerced to str: ranked-result dicts unpickled from
+    reference-format files key qids as ints, and a str-vs-int mismatch
+    would silently select nothing.
+    """
+    qid_strs = {str(q) for q in qids}
+    return [ex for ex in examples if str(ex.q_id) in qid_strs]

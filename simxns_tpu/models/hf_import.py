@@ -37,13 +37,30 @@ def convert_hf_bert(
     a leading module path (e.g. ``"bert."`` inside ``BertForMaskedLM``).
     Dense kernels are transposed torch [out,in] -> flax [in,out].
     """
-    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+    def _modern(k: str) -> str:
+        # original-format BERT checkpoints name LayerNorm params
+        # gamma/beta (the remap transformers itself carries)
+        if k.endswith(".gamma"):
+            return k[: -len(".gamma")] + ".weight"
+        if k.endswith(".beta"):
+            return k[: -len(".beta")] + ".bias"
+        return k
+
+    sd = {_modern(k[len(prefix):]): v for k, v in state_dict.items()
           if k.startswith(prefix)}
-    # BertForMaskedLM nests the encoder under "bert."
+    # BertForMaskedLM nests the encoder under "bert." — strip it for the
+    # encoder tree but keep `sd` whole so the cls.predictions.* MLM head
+    # below survives an explicit prefix="" (with prefix="bert." the head
+    # keys are outside the prefix: fall back to the unstripped dict)
     if any(k.startswith("bert.") for k in sd) and prefix == "":
         enc_sd = {k[5:]: v for k, v in sd.items() if k.startswith("bert.")}
     else:
         enc_sd = sd
+    if prefix and any(k.startswith("cls.predictions.")
+                      for k in state_dict):
+        # the MLM head lives OUTSIDE the stripped prefix — recover it
+        sd = {**sd, **{_modern(k): v for k, v in state_dict.items()
+                       if k.startswith("cls.predictions.")}}
 
     def dense(name):
         return {"kernel": _np(enc_sd[f"{name}.weight"]).T,

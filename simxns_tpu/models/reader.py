@@ -86,10 +86,17 @@ def reader_loss(
     ep = jnp.clip(end_positions.reshape(n * m, a), 0, ignored)
     am = answer_mask.reshape(n * m, a).astype(jnp.float32)
 
-    start_losses = jnp.stack(
-        [_ce_no_reduce(sl, sp[:, i], ignored) * am[:, i] for i in range(a)], 1)
-    end_losses = jnp.stack(
-        [_ce_no_reduce(el, ep[:, i], ignored) * am[:, i] for i in range(a)], 1)
+    # one softmax per logit matrix + a [R, A] gather (the per-occurrence
+    # loop re-emitted log_softmax A times and leaned on XLA CSE)
+    def _ce_all(logits, positions):
+        valid = positions != ignored                     # [R, A]
+        safe = jnp.where(valid, positions, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)       # [R, L]
+        nll = -jnp.take_along_axis(logp, safe, axis=1)   # [R, A]
+        return jnp.where(valid, nll, 0.0)
+
+    start_losses = _ce_all(sl, sp) * am
+    end_losses = _ce_all(el, ep) * am
     loss_tensor = (start_losses + end_losses).reshape(n, m, a).max(axis=1)
 
     # marginal max-likelihood over answer occurrences (_calc_mml)

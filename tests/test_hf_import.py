@@ -95,3 +95,29 @@ def test_biencoder_wrapping():
     ids = np.ones((2, 8), np.int32)
     q, c = model.apply(tree, ids, np.ones_like(ids), ids, np.ones_like(ids))
     np.testing.assert_allclose(np.asarray(q), np.asarray(c), atol=1e-6)
+
+
+def test_gamma_beta_and_prefixed_mlm_import():
+    """Original-format checkpoints name LayerNorm params gamma/beta, and a
+    BertForMaskedLM import with an explicit prefix='bert.' must still
+    recover the cls.predictions.* head (it lives outside the prefix)."""
+    hf, hf_cfg = _hf_model()
+    sd = hf.state_dict()
+    old = {}
+    for k, v in sd.items():
+        k2 = k.replace("LayerNorm.weight", "LayerNorm.gamma").replace(
+            "LayerNorm.bias", "LayerNorm.beta")
+        old["bert." + k2] = v
+    # synthesize an MLM head outside the bert. prefix
+    h, v = hf_cfg.hidden_size, hf_cfg.vocab_size
+    old["cls.predictions.transform.dense.weight"] = torch.zeros(h, h)
+    old["cls.predictions.transform.dense.bias"] = torch.zeros(h)
+    old["cls.predictions.transform.LayerNorm.gamma"] = torch.ones(h)
+    old["cls.predictions.transform.LayerNorm.beta"] = torch.zeros(h)
+    old["cls.predictions.bias"] = torch.zeros(v)
+    params, mlm = convert_hf_bert(old, prefix="bert.")
+    assert mlm is not None and mlm["bias"].shape == (v,)
+    ref_params, _ = convert_hf_bert(hf.state_dict())
+    leaf = params["embeddings"]["layer_norm"]["scale"]
+    np.testing.assert_array_equal(
+        leaf, ref_params["embeddings"]["layer_norm"]["scale"])
