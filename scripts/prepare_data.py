@@ -50,8 +50,19 @@ def get_tokenizer(path):
     return HashTokenizer()
 
 
-def pack(tok, texts, pairs, max_length):
+def pack(tok, texts, pairs, max_length, chunk=50_000):
     ids = np.zeros((len(texts), max_length), np.int32)
+    if hasattr(tok, "encode_batch"):
+        # HF fast path: Rust-side batched encoding, chunked for memory
+        for s in range(0, len(texts), chunk):
+            rows = tok.encode_batch(
+                texts[s: s + chunk],
+                pairs[s: s + chunk] if pairs else None, max_length)
+            for i, enc in enumerate(rows):
+                ids[s + i, : len(enc)] = enc
+            print(f"  tokenized {min(s + chunk, len(texts))}/{len(texts)}",
+                  flush=True)
+        return ids
     for i, text in enumerate(texts):
         enc = tok.encode(text, text_pair=pairs[i] if pairs else None,
                          max_length=max_length)
@@ -79,7 +90,13 @@ def main(argv=None):
                 "msdoc": "docs", "queries": "qa",
                 "marco-queries": "queries_tsv"}
     if getattr(args, required[args.mode]) is None:
-        ap.error(f"mode '{args.mode}' requires --{required[args.mode]}")
+        flag = "--" + required[args.mode].replace("_", "-")
+        ap.error(f"mode '{args.mode}' requires {flag}")
+    # np.savez_compressed appends .npz when missing; normalize up-front so
+    # the qa sidecar is derived from the REAL npz path (run.py looks up
+    # <queries-arg> + '.qa.json')
+    if not args.out.endswith(".npz"):
+        args.out += ".npz"
     tok = get_tokenizer(args.tokenizer)
 
     if args.mode == "corpus":
@@ -101,14 +118,8 @@ def main(argv=None):
     elif args.mode == "marco-queries":
         # MARCO queries.train.tsv (qid\tquery): pids carry the REAL qids so
         # run.py --qrels can join rows to qrels (inference_DE_marco.py:446+)
-        qids, texts = [], []
-        with open(args.queries_tsv, encoding="utf-8") as f:
-            for line in f:
-                parts = line.rstrip("\n").split("\t")
-                if len(parts) < 2:
-                    continue
-                qids.append(int(parts[0]))
-                texts.append(parts[1])
+        by_qid = load_id_text(args.queries_tsv)   # qid -> query, file order
+        qids, texts = list(by_qid), list(by_qid.values())
         pids = np.asarray(qids, np.int64)
         ids = pack(tok, texts, None, args.max_length)
         with open(args.out + ".qa.json", "w", encoding="utf-8") as f:
@@ -123,7 +134,11 @@ def main(argv=None):
     # record the packer's separator id so run.py splices joint inputs with
     # the SAME token the corpus was packed with (a BERT-vocab corpus packed
     # here has sep=102; RoBERTa/Hash use 2 — run.py must not assume)
-    sep_id = int(getattr(tok, "sep_token_id", None) or 2)
+    sep_raw = getattr(tok, "sep_token_id", None)
+    if sep_raw is None:
+        ap.error(f"tokenizer {args.tokenizer!r} has no sep_token_id — joint "
+                 "cross-encoder inputs cannot be packed with this vocab")
+    sep_id = int(sep_raw)
     np.savez_compressed(args.out, ids=ids, pids=pids,
                         sep_id=np.asarray(sep_id, np.int64))
     print(f"wrote {args.out}: ids {ids.shape}, pids {pids.shape}, "

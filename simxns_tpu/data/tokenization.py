@@ -90,6 +90,16 @@ def load_hf_tokenizer(name_or_path: str):
                               truncation=max_length is not None,
                               add_special_tokens=True)
 
+        @staticmethod
+        def encode_batch(texts, pairs=None, max_length=None):
+            """Rust-side batch encoding (fast tokenizers thread across
+            rows — ~5-10x per-row encode on multi-million-row corpora)."""
+            out = tok(list(texts), text_pair=list(pairs) if pairs else None,
+                      max_length=max_length,
+                      truncation=max_length is not None,
+                      add_special_tokens=True)
+            return out["input_ids"]
+
     return _Wrap()
 
 
