@@ -218,47 +218,54 @@ def stage_ar2(args):
     batch = {"q_ids": q, "q_mask": np.ones_like(q),
              "ctx_ids": c, "ctx_mask": np.ones_like(c),
              "joint_ids": j, "joint_mask": np.ones_like(j)}
-    de_kw = {"remat": True}
-    if args.variants and "dots" in args.variants:
-        de_kw["remat_policy"] = "dots"
-    if args.variants and "noremat" in args.variants:
-        de_kw = {"remat": False}
-    if args.variants and "fusedvjp" in args.variants:
-        de_kw["ffn_impl"] = "fused_vjp"
-    de_cfg = (BertConfig.tiny(vocab_size=30522) if SMOKE
-              else BertConfig(dtype=jnp.bfloat16, **de_kw))
-    if SMOKE:
-        ce_cfg = BertConfig.tiny(vocab_size=30522)
-    else:
-        ce_cfg = BertConfig(num_layers=24, hidden_size=1024, num_heads=16,
-                            intermediate_size=4096, dtype=jnp.bfloat16,
-                            remat=True)
-    # "int8teacher": frozen-teacher fwd (~59% of step FLOPs) through the
-    # whole-layer fused int8 view — the step factory never differentiates
-    # ce_model, so the encode-only composition is legal here.
-    if args.variants and "int8teacher" in args.variants:
-        ce_cfg = ce_cfg.replace(layer_impl="fused_int8")
-    de = BiEncoder(BiEncoderConfig(bert=de_cfg))
-    ce = CrossEncoder(CrossEncoderConfig(bert=ce_cfg))
-    de_p = de.init(jax.random.PRNGKey(0), q[:2], batch["q_mask"][:2],
-                   c[:2], batch["ctx_mask"][:2])
-    ce_p = ce.init(jax.random.PRNGKey(1), j.reshape(n * m, lj)[:2],
-                   np.ones((2, lj), np.int32))
-    tx = make_adamw(1e-5, total_steps=0)
-    state = TrainState.create(de_p, tx)
-    step = make_ar2_retriever_step(de, ce, tx, mesh, adv_lambda=0.0)
     dev = shard_batch(batch, mesh)
-    import jax as _jax
-    ce_p = _jax.device_put(ce_p)
-    ms, state = _time_steps(step, state, (ce_p,), dev, k=args.k)
-    # flops: DE fwd+bwd (3x) over q+ctx tokens + frozen CE-large fwd (1x)
-    de_fwd = bert_flops(n * lq + n * m * lc, n + n * m)
-    ce_fwd = bert_flops(n * m * lj, n * m, L=24, H=1024, F=4096, S=lj)
-    mfu = (3 * de_fwd + ce_fwd) / (ms / 1000) / PEAK_BF16
-    emit({"stage": "ar2_step", "shape": [n, m, lq, lc, lj],
-          "variant": args.variants or "remat",
-          "ms_per_step": round(ms, 1),
-          "q_per_s": round(n / (ms / 1000), 1), "mfu": round(mfu, 4)})
+    # ';'-separated variant sets run back-to-back in ONE process so relay
+    # session variance cancels (the fast-teacher A/B needs this).
+    for variants in (args.variants or "").split(";"):
+        de_kw = {"remat": True}
+        if "dots" in variants:
+            de_kw["remat_policy"] = "dots"
+        if "noremat" in variants:
+            de_kw = {"remat": False}
+        if "fusedvjp" in variants:
+            de_kw["ffn_impl"] = "fused_vjp"
+        de_cfg = (BertConfig.tiny(vocab_size=30522) if SMOKE
+                  else BertConfig(dtype=jnp.bfloat16, **de_kw))
+        if SMOKE:
+            ce_cfg = BertConfig.tiny(vocab_size=30522)
+        else:
+            ce_cfg = BertConfig(num_layers=24, hidden_size=1024,
+                                num_heads=16, intermediate_size=4096,
+                                dtype=jnp.bfloat16, remat=True)
+        # "int8teacher": frozen-teacher fwd (~59% of step FLOPs) through
+        # the whole-layer fused int8 view — the step factory never
+        # differentiates ce_model, so the encode-only composition is legal.
+        if "int8teacher" in variants:
+            ce_cfg = ce_cfg.replace(layer_impl="fused_int8")
+        try:
+            de = BiEncoder(BiEncoderConfig(bert=de_cfg))
+            ce = CrossEncoder(CrossEncoderConfig(bert=ce_cfg))
+            de_p = de.init(jax.random.PRNGKey(0), q[:2],
+                           batch["q_mask"][:2], c[:2], batch["ctx_mask"][:2])
+            ce_p = ce.init(jax.random.PRNGKey(1), j.reshape(n * m, lj)[:2],
+                           np.ones((2, lj), np.int32))
+            tx = make_adamw(1e-5, total_steps=0)
+            state = TrainState.create(de_p, tx)
+            step = make_ar2_retriever_step(de, ce, tx, mesh, adv_lambda=0.0)
+            ce_p = jax.device_put(ce_p)
+            ms, state = _time_steps(step, state, (ce_p,), dev, k=args.k)
+        except Exception as e:  # noqa: BLE001 — record compile failures
+            emit({"stage": "ar2_step", "shape": [n, m, lq, lc, lj],
+                  "variant": variants or "remat", "error": str(e)[:200]})
+            continue
+        # flops: DE fwd+bwd (3x) over q+ctx tokens + frozen CE-large fwd
+        de_fwd = bert_flops(n * lq + n * m * lc, n + n * m)
+        ce_fwd = bert_flops(n * m * lj, n * m, L=24, H=1024, F=4096, S=lj)
+        mfu = (3 * de_fwd + ce_fwd) / (ms / 1000) / PEAK_BF16
+        emit({"stage": "ar2_step", "shape": [n, m, lq, lc, lj],
+              "variant": variants or "remat",
+              "ms_per_step": round(ms, 1),
+              "q_per_s": round(n / (ms / 1000), 1), "mfu": round(mfu, 4)})
 
 
 def stage_ce(args):

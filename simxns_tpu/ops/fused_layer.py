@@ -145,6 +145,24 @@ def fused_encoder_layer_int8(
     n_seq = max(1, seqs_per_tile)
     while b % n_seq:
         n_seq //= 2
+    # Scoped-VMEM guard: Mosaic stack-allocates the kernel's live
+    # intermediates (q/k/v int32 accumulators, f32 ctx/y1, the [TM, F]
+    # GELU pair) per program. Measured usage fits ~TM*(16H + 12F) bytes
+    # (20.94M at TM=320/H=1024/F=4096 — the BERT-large S=160 teacher
+    # shape that blew Mosaic's default 16M scoped limit at compile time).
+    # The pallas_call below raises the limit to 64M (v5e has 128M VMEM;
+    # CE-large blocks = ~12M int8 weights double-buffered + activations
+    # stay under the other half); this guard halves seqs-per-tile until
+    # the stack estimate clears 32M, and falls back to the XLA expression
+    # for shapes where a single sequence still can't fit.
+    per_row_bytes = 16 * h + 12 * f
+    while n_seq > 1 and n_seq * s * per_row_bytes > 32_000_000:
+        n_seq //= 2
+    if not interpret and s * per_row_bytes > 32_000_000:
+        return layer_reference(x, attention_mask, params,
+                               num_heads=num_heads,
+                               layer_norm_eps=layer_norm_eps
+                               ).astype(x.dtype)
     tm = n_seq * s
 
     if attention_mask is None:
@@ -197,6 +215,8 @@ def fused_encoder_layer_int8(
             flops=flops,
             bytes_accessed=2 * b * s * h * 2 + 4 * h * h + 2 * h * f,
             transcendentals=b * s * (f + num_heads * s)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x.reshape(b * s, h), bias,
       *w_args("wq"), vec("bq", h),
