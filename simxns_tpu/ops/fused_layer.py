@@ -40,6 +40,43 @@ from simxns_tpu.ops.fused_ffn import _gelu_exact, _quant_rows, quantize_weight
 INTERPRET = False
 
 
+#: Mosaic scoped-VMEM (stack) budget the tile selector targets. The
+#: pallas_call raises the compile limit to 64M (v5e VMEM is 128M);
+#: targeting 48M of estimated stack leaves room for the double-buffered
+#: x/bias/out blocks (~3M at CE-large tiles) under that limit.
+_STACK_BUDGET_BYTES = 48_000_000
+
+
+def _pick_seqs_per_tile(b: int, s: int, h: int, f: int,
+                        seqs_per_tile: int) -> int:
+    """Sequences per Pallas program, bounded by the scoped-VMEM stack.
+
+    Mosaic stack-allocates the VMEM-resident int8 weights (4H^2 + 2HF
+    bytes — their index maps are constant, so they are not re-streamed)
+    plus the per-program intermediates (q/k/v accumulators, f32 ctx/y1,
+    the [TM, F] GELU pair), ~TM*(4H + 6F) bytes. The model matches two
+    compile-time measurements at H=1024/F=4096: 20.94M at TM=320 and
+    17.22M at TM=160 — the BERT-large S=160 teacher shapes that blew
+    Mosaic's default 16M scoped limit before the kernel raised it to
+    64M. Returns 0 when even a single sequence cannot fit the budget
+    (caller falls back to the XLA expression).
+    """
+    n_seq = max(1, seqs_per_tile)
+    while b % n_seq:
+        n_seq //= 2
+    weight_bytes = 4 * h * h + 2 * h * f
+    per_row_bytes = 4 * h + 6 * f
+
+    def est(rows):
+        return weight_bytes + rows * per_row_bytes
+
+    while n_seq > 1 and est(n_seq * s) > _STACK_BUDGET_BYTES:
+        n_seq //= 2
+    if est(s) > _STACK_BUDGET_BYTES:
+        return 0
+    return n_seq
+
+
 def _layer_norm(x, g_ref, b_ref, eps):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
@@ -142,27 +179,15 @@ def fused_encoder_layer_int8(
                                num_heads=num_heads,
                                layer_norm_eps=layer_norm_eps
                                ).astype(x.dtype)
-    n_seq = max(1, seqs_per_tile)
-    while b % n_seq:
-        n_seq //= 2
-    # Scoped-VMEM guard: Mosaic stack-allocates the kernel's live
-    # intermediates (q/k/v int32 accumulators, f32 ctx/y1, the [TM, F]
-    # GELU pair) per program. Measured usage fits ~TM*(16H + 12F) bytes
-    # (20.94M at TM=320/H=1024/F=4096 — the BERT-large S=160 teacher
-    # shape that blew Mosaic's default 16M scoped limit at compile time).
-    # The pallas_call below raises the limit to 64M (v5e has 128M VMEM;
-    # CE-large blocks = ~12M int8 weights double-buffered + activations
-    # stay under the other half); this guard halves seqs-per-tile until
-    # the stack estimate clears 32M, and falls back to the XLA expression
-    # for shapes where a single sequence still can't fit.
-    per_row_bytes = 16 * h + 12 * f
-    while n_seq > 1 and n_seq * s * per_row_bytes > 32_000_000:
-        n_seq //= 2
-    if not interpret and s * per_row_bytes > 32_000_000:
+    n_seq = _pick_seqs_per_tile(b, s, h, f, seqs_per_tile)
+    if not interpret and n_seq == 0:
+        # a single sequence's stack exceeds the scoped-VMEM budget — this
+        # shape can't run fused
         return layer_reference(x, attention_mask, params,
                                num_heads=num_heads,
                                layer_norm_eps=layer_norm_eps
                                ).astype(x.dtype)
+    n_seq = max(1, n_seq)
     tm = n_seq * s
 
     if attention_mask is None:

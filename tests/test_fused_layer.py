@@ -108,6 +108,28 @@ def test_model_level_fused_layer_near_f32():
     assert cos.min() > 0.99, cos
 
 
+def test_pick_seqs_per_tile_scoped_vmem():
+    """Tile selection respects the measured Mosaic stack budget
+    (weights 4H^2+2HF + TM*(4H+6F) bytes vs _STACK_BUDGET_BYTES — the
+    model matches the 20.94M@TM=320 / 17.22M@TM=160 compile-time
+    measurements at BERT-large): the CE-teacher 2-seq tile fits because
+    the kernel raises Mosaic's default 16M limit to 64M; long sequences
+    halve the tile; a shape whose single sequence exceeds the budget
+    returns 0 (XLA fallback)."""
+    # BERT-large CE teacher: H=1024, F=4096, S=160 — ~21.8M est fits the
+    # 48M budget under the raised 64M limit (ran at 156.3 ms measured)
+    assert fl._pick_seqs_per_tile(128, 160, 1024, 4096, 2) == 2
+    # BERT-base encode: H=768, F=3072, S=128 -> stays at 2 (~12.2M est,
+    # the 0.80-MXU headline tile)
+    assert fl._pick_seqs_per_tile(1024, 128, 768, 3072, 2) == 2
+    # BERT-large S=768: 2 seqs -> ~56.7M est -> halve to 1 (~34.6M)
+    assert fl._pick_seqs_per_tile(8, 768, 1024, 4096, 2) == 1
+    # odd batch still falls to 1
+    assert fl._pick_seqs_per_tile(3, 128, 768, 3072, 2) == 1
+    # single sequence over budget -> 0 (caller uses layer_reference)
+    assert fl._pick_seqs_per_tile(8, 2048, 1024, 4096, 2) == 0
+
+
 def test_fused_layer_cross_encoder_shapes():
     """CE joint shapes (S=160/192, non-128-multiple sequence lengths) —
     the rerank-eval path (VERDICT r2 #6; PROD rerank S<=192)."""
