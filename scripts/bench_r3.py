@@ -558,7 +558,38 @@ def stage_ce_attrib(args):
 
     Emits one ``ce_attrib`` line with a dict per variant; variants that
     fail (e.g. S=256 noremat OOM) record their error string instead.
+
+    Each variant runs in its OWN subprocess (fresh HBM). Measured round 3:
+    the one-process battery OOM'd from the third variant on — every
+    BERT-large noremat variant's params+opt+activations footprint is a
+    large share of the 16G chip and jit caches pin buffers across
+    variants. Sequential subprocesses isolate them; the relay's
+    remote-compile cache keeps repeat compiles cheap.
     """
+    labels = ["full160", "parts160", "tanh160", "full128", "full192",
+              "full256_flash", "full256_xla"]
+    only = os.environ.get("SIMXNS_CE_ATTRIB_ONLY")
+    if only is None and not SMOKE:
+        import subprocess
+
+        t_start = time.time()
+        for lab in labels:
+            env = dict(os.environ, SIMXNS_CE_ATTRIB_ONLY=lab)
+            subprocess.run(
+                [sys.executable, __file__, "ce_attrib", "--k", str(args.k),
+                 "--batch", str(args.batch)], env=env, check=False)
+        merged, nm = {}, None
+        with open(RESULTS) as f:
+            for line in f:
+                rec = json.loads(line)
+                if (rec.get("stage") == "ce_attrib_part"
+                        and rec["ts"] >= t_start):
+                    nm = rec["shape_nm"]
+                    merged.update({k: v for k, v in rec.items()
+                                   if k not in ("ts", "stage", "shape_nm")})
+        emit({"stage": "ce_attrib", "shape_nm": nm, **merged})
+        return
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -593,6 +624,8 @@ def stage_ce_attrib(args):
         return ce, state, shard_batch(batch, mesh), fwd
 
     def record(label, fn):
+        if only is not None and label != only:
+            return
         for attempt in (1, 2):
             try:
                 fn()
@@ -671,7 +704,8 @@ def stage_ce_attrib(args):
     record("full256_flash", lambda: full("full256_flash", 256))
     record("full256_xla",
            lambda: full("full256_xla", 256, attention_impl="xla"))
-    emit({"stage": "ce_attrib", "shape_nm": [n, m], **res})
+    emit({"stage": "ce_attrib_part" if only is not None else "ce_attrib",
+          "shape_nm": [n, m], **res})
 
 
 def main():
