@@ -109,8 +109,20 @@ def build_parser() -> argparse.ArgumentParser:
                          "training model)")
     ap.add_argument("--fast-teacher", action="store_true",
                     help="run frozen-teacher forwards (AR2 retriever step, "
-                         "PROD KD) through the whole-layer fused int8 view "
-                         "of the live teacher params")
+                         "PROD KD, LEAD frozen teachers) through the "
+                         "whole-layer fused int8 view of the live teacher "
+                         "params")
+    ap.add_argument("--resume", choices=["auto", "never"], default="auto",
+                    help="auto (default): scan --output-dir for the highest "
+                         "saved *_state checkpoint and continue from it "
+                         "(the reference's outer-loop contract, "
+                         "run_progressive_distill_marco.py:167-180); "
+                         "never: always start fresh")
+    ap.add_argument("--init-checkpoint", default=None,
+                    help="HF PyTorch checkpoint (pytorch_model.bin or a "
+                         "directory holding one) to warm-start encoders "
+                         "from; the architecture is sniffed from the "
+                         "state_dict (BERT/RoBERTa/ELECTRA/DistilBERT)")
     return ap
 
 
@@ -336,6 +348,56 @@ def _get_corpus(args, data_cfg) -> _Corpus:
     return _synthesize(args, data_cfg)
 
 
+def _resume_step(args, name: str):
+    """Highest saved ``<name>-<step>`` in --output-dir, or None.
+
+    The reference's launchers resume by scanning the output directory for
+    the newest step-indexed checkpoint (PROD:
+    ``run_progressive_distill_marco.py:167-180``; SimANS passes the step
+    through the bash loop, ``train_NQ_AR2.sh:15-50`` +
+    ``co_training_wiki_train.py:138-147``). ``--resume never`` disables.
+    """
+    if not args.output_dir or args.resume == "never":
+        return None
+    from simxns_tpu.io import latest_step
+
+    # resume only a run of the SAME recipe: output dirs are reused across
+    # recipes (and restoring another recipe's states is silent corruption)
+    meta_path = os.path.join(args.output_dir, "run_meta.json")
+    prev = None
+    if os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as f:
+            prev = json.load(f).get("recipe")
+    step = latest_step(args.output_dir, name=name)
+    if step is not None and prev != args.recipe:
+        print(f"note: {args.output_dir} holds checkpoints from recipe "
+              f"{prev!r}, not {args.recipe!r} — starting fresh",
+              file=sys.stderr)
+        step = None
+    with open(meta_path, "w", encoding="utf-8") as f:
+        json.dump({"recipe": args.recipe}, f)
+    return step
+
+
+def _restore_state(args, target, step: int, name: str, mesh):
+    """Restore a TrainState and replicate it over the mesh.
+
+    Orbax restores to the target's placement (a fresh ``TrainState.create``
+    commits to ONE device); train/encode jits expect params replicated
+    across the mesh like the warm states they were traced with — mixing a
+    1-device state with 8-device-sharded batch args is a placement error.
+    """
+    import jax
+
+    from simxns_tpu.io import restore_checkpoint
+    from simxns_tpu.parallel.mesh import replicated_sharding
+
+    state = restore_checkpoint(args.output_dir, target, step, name=name)
+    if mesh.size > 1:
+        state = jax.device_put(state, replicated_sharding(mesh))
+    return state
+
+
 def _make_optim(optim_cfg, lr_override=None, steps=None):
     from simxns_tpu.train import make_adamw, make_lamb
 
@@ -428,6 +490,10 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
                             total_steps=0)
     tx_warm_ce = make_adamw(ce_lr or cfg.reranker_optim.learning_rate,
                             total_steps=0)
+    # resume scan BEFORE warmup: a relaunch with saved window-boundary
+    # checkpoints skips warmup entirely and continues the co-training loop
+    # at the saved global step (co_training_wiki_train.py:138-147,357-367)
+    resume_step = _resume_step(args, "retriever_state")
     de_state = TrainState.create(de_params, tx_warm_de)
     ce_state = TrainState.create(ce_params, tx_warm_ce)
 
@@ -476,35 +542,53 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     #    finetuned DE + reranker checkpoints before co-training) -----------
     gold = _gold_warm(data, topk)
     warm_ds = dataset_from(gold, args.seed)
-    warm_de = make_biencoder_step(de, tx_warm_de, mesh, grad_mode="full")
-    warm_ce = make_reranker_step(ce, tx_warm_ce, mesh, group_size=1 + negs)
-    warm_epochs = 40 if tiny else max(1, min(25, steps // 4))
-    for _ in range(warm_epochs):
-        for b in warm_ds.batches(batch_size=batch_size, with_joint=False):
-            de_state, wm = warm_de(de_state, shard_batch(b, mesh))
-    # the reranker must be a competent teacher before co-training (the
-    # reference loads checkpoint-reranker26000); warm it harder
-    ce_warm_steps = 0
-    for _ in range(warm_epochs + 20 if tiny else warm_epochs):
-        for b in warm_ds.batches(batch_size=batch_size):
-            dev = shard_batch({"joint_ids": b["joint_ids"],
-                               "joint_mask": b["joint_mask"]}, mesh)
-            ce_state, cm = warm_ce(ce_state, dev)
-            ce_warm_steps += 1
     from simxns_tpu.train.driver import RecallGuard, check_teacher_warmth
 
-    check_teacher_warmth(ce_warm_steps)
     guard = RecallGuard()
-    res = mine(de_state)
-    guard.update(res.top_k_hits[0])
-    logger.log(0, {"top1": res.top_k_hits[0],
-                   "mrr10": res.metrics.get("MRR_n@_10", 0.0)},
-               phase="warmup_eval")
-    print(f"[{name}] warmup: top1={res.top_k_hits[0]:.3f}")
+    if resume_step is None:
+        warm_de = make_biencoder_step(de, tx_warm_de, mesh, grad_mode="full")
+        warm_ce = make_reranker_step(ce, tx_warm_ce, mesh,
+                                     group_size=1 + negs)
+        warm_epochs = 40 if tiny else max(1, min(25, steps // 4))
+        for _ in range(warm_epochs):
+            for b in warm_ds.batches(batch_size=batch_size, with_joint=False):
+                de_state, wm = warm_de(de_state, shard_batch(b, mesh))
+        # the reranker must be a competent teacher before co-training (the
+        # reference loads checkpoint-reranker26000); warm it harder
+        ce_warm_steps = 0
+        for _ in range(warm_epochs + 20 if tiny else warm_epochs):
+            for b in warm_ds.batches(batch_size=batch_size):
+                dev = shard_batch({"joint_ids": b["joint_ids"],
+                                   "joint_mask": b["joint_mask"]}, mesh)
+                ce_state, cm = warm_ce(ce_state, dev)
+                ce_warm_steps += 1
+        check_teacher_warmth(ce_warm_steps)
+        res = mine(de_state)
+        guard.update(res.top_k_hits[0])
+        logger.log(0, {"top1": res.top_k_hits[0],
+                       "mrr10": res.metrics.get("MRR_n@_10", 0.0)},
+                   phase="warmup_eval")
+        print(f"[{name}] warmup: top1={res.top_k_hits[0]:.3f}")
 
-    # -- co-training (fresh opt states on the recipe schedule) -------------
-    de_state = TrainState.create(de_state.params, tx_de)
-    ce_state = TrainState.create(ce_state.params, tx_ce)
+        # -- co-training (fresh opt states on the recipe schedule) ---------
+        de_state = TrainState.create(de_state.params, tx_de)
+        ce_state = TrainState.create(ce_state.params, tx_ce)
+        first_seed = 0
+    else:
+        # relaunch: restore full TrainStates (params + opt state + step)
+        # from the last window boundary and skip warmup — the co-training
+        # loop continues exactly where the dead run's window ended
+        de_state = _restore_state(args, TrainState.create(de_params, tx_de),
+                                  resume_step, "retriever_state", mesh)
+        ce_state = _restore_state(args, TrainState.create(ce_params, tx_ce),
+                                  resume_step, "reranker_state", mesh)
+        res = mine(de_state)
+        guard.update(res.top_k_hits[0])
+        logger.log(resume_step, {"top1": res.top_k_hits[0]},
+                   phase="resume_eval")
+        print(f"[{name}] resumed at step {resume_step}: "
+              f"top1={res.top_k_hits[0]:.3f}")
+        first_seed = resume_step
     # --fast-teacher: the retriever step's frozen reranker forward (~59%
     # of step FLOPs at the recipe shape) runs through the whole-layer
     # fused int8 VIEW of the live reranker params; the reranker's own
@@ -537,14 +621,28 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
 
     iteration = min(cfg.iteration_step, max(4, steps // 2) if tiny
                     else cfg.iteration_step)
-    # first window: reuse the warmup-eval mining result (the params have
-    # not changed since `res = mine(de_state)` above — a second
-    # full-corpus mine here would be pure duplicate work)
-    first_ds = dataset_from(res, 0)
+    # first window: reuse the warmup/resume-eval mining result (the params
+    # have not changed since `res = mine(de_state)` above — a second
+    # full-corpus mine here would be pure duplicate work). The dataset
+    # seed is the global step the window starts at, matching what
+    # `refresh` would have built at that boundary in an unbroken run.
+    first_ds = dataset_from(res, first_seed)
     first_batches = (
         (lambda: first_ds.batches(batch_size=batch_size))
         if len(first_ds) >= batch_size
         else (lambda: warm_ds.batches(batch_size=batch_size)))
+
+    def checkpoint(de_s, ce_s, gstep):
+        # full-state window-boundary checkpoints: what the resume scan
+        # restores (the reference writes checkpoint-<step> /
+        # checkpoint-reranker<step> at each break-out,
+        # co_training_wiki_train.py:300-306,319-354)
+        if args.output_dir:
+            save_checkpoint(args.output_dir, de_s, gstep,
+                            name="retriever_state")
+            save_checkpoint(args.output_dir, ce_s, gstep,
+                            name="reranker_state")
+
     trainer = AR2CoTrainer(
         mesh,
         AR2Config(iteration_step=iteration,
@@ -554,7 +652,9 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
                   log_every=max(1, steps // 10)),
         de_state, ce_state, r_step, c_step,
         batches=first_batches,
-        refresh_fn=refresh, metric_logger=logger)
+        refresh_fn=refresh, checkpoint_fn=checkpoint, metric_logger=logger)
+    if resume_step is not None:
+        trainer.global_step = resume_step
     trainer.run()
 
     final = mine(trainer.de_state)
@@ -623,15 +723,27 @@ def run_kd(name: str, cfg: KDRecipeConfig, args) -> dict:
                             sep_id=data.sep_id, seed=args.seed,
                             simans_mode=None)
 
-    # teacher warmup (the pipeline's CE stage precedes distillation)
+    # teacher warmup (the pipeline's CE stage precedes distillation);
+    # on resume the warmed teacher is restored instead of re-trained
+    # (the reference reloads --teacher_model_path each relaunch)
     t_tx = _make_optim(cfg.optim, kd_lr, steps)
     t_state = TrainState.create(t_params, t_tx)
-    ce_step = make_reranker_step(teacher, t_tx, mesh, group_size=1 + negs)
-    for _ in range(max(1, steps // 8)):
-        for b in ds.batches(batch_size=batch_size):
-            dev = shard_batch({"joint_ids": b["joint_ids"],
-                               "joint_mask": b["joint_mask"]}, mesh)
-            t_state, _ = ce_step(t_state, dev)
+    resume_step = _resume_step(args, "student_state")
+    if resume_step is not None:
+        t_state = _restore_state(args, t_state, 0, "kd_teacher_state",
+                                 mesh)
+        print(f"[{name}] resumed at step {resume_step}")
+    else:
+        ce_step = make_reranker_step(teacher, t_tx, mesh,
+                                     group_size=1 + negs)
+        for _ in range(max(1, steps // 8)):
+            for b in ds.batches(batch_size=batch_size):
+                dev = shard_batch({"joint_ids": b["joint_ids"],
+                                   "joint_mask": b["joint_mask"]}, mesh)
+                t_state, _ = ce_step(t_state, dev)
+        if args.output_dir:
+            save_checkpoint(args.output_dir, t_state, 0,
+                            name="kd_teacher_state")
 
     # --fast-teacher: distillation teacher forwards are frozen -> run them
     # through the fused int8 view of the warmed teacher params.
@@ -647,6 +759,11 @@ def run_kd(name: str, cfg: KDRecipeConfig, args) -> dict:
                         dkd_beta=cfg.dkd_beta, ce_teacher_model=kd_teacher)
     teachers = {"ce": t_state.params}
     done, last = 0, float("nan")
+    save_every = max(1, steps // 5)
+    if resume_step is not None:
+        state = _restore_state(args, state, resume_step, "student_state",
+                               mesh)
+        done = resume_step
     while done < steps:
         for b in ds.batches(batch_size=batch_size):
             state, m = step(state, teachers, shard_batch(b, mesh))
@@ -654,6 +771,9 @@ def run_kd(name: str, cfg: KDRecipeConfig, args) -> dict:
             last = float(m["loss"])
             if done % max(1, steps // 10) == 0:
                 logger.log(done, {"loss": last}, phase="kd")
+            if done % save_every == 0 and args.output_dir:
+                save_checkpoint(args.output_dir, state, done,
+                                name="student_state")
             if done >= steps:
                 break
     out = {"recipe": name, "steps": done, "final_loss": last}
@@ -727,13 +847,28 @@ def run_pretrain(name: str, cfg: MasterPretrainConfig, args) -> dict:
     state = TrainState.create(params, tx)
     step = make_condenser_step(model, tx, mesh)
 
+    start = 0
+    resume_step = _resume_step(args, "pretrain_state")
+    if resume_step is not None:
+        # resume restores params/opt/step; the synthetic example stream is
+        # reseeded (not replayed) — matching HF Trainer's resume semantics
+        # minus the batch-skip replay, which a random corpus doesn't need
+        state = _restore_state(args, state, resume_step, "pretrain_state",
+                               mesh)
+        start = resume_step
+        rng = np.random.default_rng(args.seed + resume_step)
+        print(f"[{name}] resumed at step {resume_step}")
+    save_every = max(1, steps // 5)
     last = float("nan")
-    for i in range(steps):
+    for i in range(start, steps):
         batch = shard_batch(coll(examples(batch_size)), mesh)
         state, m = step(state, batch)
         last = float(m["loss"])
         if (i + 1) % max(1, steps // 10) == 0:
             logger.log(i + 1, {"loss": last}, phase="pretrain")
+        if (i + 1) % save_every == 0 and args.output_dir:
+            save_checkpoint(args.output_dir, state, i + 1,
+                            name="pretrain_state")
     out = {"recipe": name, "steps": steps, "final_loss": last}
     if args.output_dir:
         encoder = export_encoder_only(state.params)
@@ -804,20 +939,22 @@ def run_lead(name: str, cfg, args) -> dict:
                             sep_id=data.sep_id, seed=args.seed,
                             simans_mode=None)
 
+    resume_step = _resume_step(args, "lead_db_state")
     tx_warm = make_adamw(lr, total_steps=0)
     db_state = TrainState.create(db_params, tx_warm)
     ce_state = TrainState.create(ce_params, tx_warm)
-    warm_db = make_biencoder_step(db, tx_warm, mesh, grad_mode="full")
-    warm_ce = make_reranker_step(ce, tx_warm, mesh, group_size=m)
-    warm_epochs = 30 if tiny else max(1, steps // 10)
-    for _ in range(warm_epochs):
-        for b in ds.batches(batch_size=batch_size, with_joint=False):
-            db_state, _ = warm_db(db_state, shard_batch(b, mesh))
-    for _ in range(warm_epochs):
-        for b in ds.batches(batch_size=batch_size):
-            dev = shard_batch({"joint_ids": b["joint_ids"],
-                               "joint_mask": b["joint_mask"]}, mesh)
-            ce_state, _ = warm_ce(ce_state, dev)
+    if resume_step is None:
+        warm_db = make_biencoder_step(db, tx_warm, mesh, grad_mode="full")
+        warm_ce = make_reranker_step(ce, tx_warm, mesh, group_size=m)
+        warm_epochs = 30 if tiny else max(1, steps // 10)
+        for _ in range(warm_epochs):
+            for b in ds.batches(batch_size=batch_size, with_joint=False):
+                db_state, _ = warm_db(db_state, shard_batch(b, mesh))
+        for _ in range(warm_epochs):
+            for b in ds.batches(batch_size=batch_size):
+                dev = shard_batch({"joint_ids": b["joint_ids"],
+                                   "joint_mask": b["joint_mask"]}, mesh)
+                ce_state, _ = warm_ce(ce_state, dev)
 
     # joint phase: fresh per-model optimizers on the recipe schedule
     warmup = int(cfg.warmup_ratio * steps)
@@ -827,6 +964,13 @@ def run_lead(name: str, cfg, args) -> dict:
                        total_steps=steps)
     states = {"db": TrainState.create(db_state.params, tx_db),
               "ce": TrainState.create(ce_state.params, tx_ce)}
+    if resume_step is not None:
+        states = {
+            "db": _restore_state(args, states["db"], resume_step,
+                                 "lead_db_state", mesh),
+            "ce": _restore_state(args, states["ce"], resume_step,
+                                 "lead_ce_state", mesh)}
+        print(f"[{name}] resumed at step {resume_step}")
     lead_cfg = LeadConfig(
         distill_db=True, distill_ce=True, train_db=True, train_ce=True,
         layer_score=True, reweight=cfg.reweight,
@@ -840,13 +984,30 @@ def run_lead(name: str, cfg, args) -> dict:
     sel_s, sel_t = select_layers(rng, db_cfg.num_layers, ce_cfg.num_layers,
                                  k, cfg.layer_selection)
     done, last = 0, float("nan")
+    if resume_step is not None:
+        # replay the layer draws the dead run consumed so the resumed
+        # run's selection stream continues deterministically
+        # (run_LEAD.py:260 re-draws every save_steps)
+        for _ in range(resume_step // cfg.save_steps):
+            sel_s, sel_t = select_layers(
+                rng, db_cfg.num_layers, ce_cfg.num_layers, k,
+                cfg.layer_selection)
+        done = resume_step
     while done < steps:
         for b in ds.batches(batch_size=batch_size):
-            if done % cfg.save_steps == 0 and done > 0:
-                # layer re-draw (run_LEAD.py:260) — traced, no recompile
+            if (done % cfg.save_steps == 0 and done > 0
+                    and done != resume_step):
+                # layer re-draw (run_LEAD.py:260) — traced, no recompile.
+                # The resume boundary itself is excluded: its draw was
+                # already replayed above, and re-saving it is pointless.
                 sel_s, sel_t = select_layers(
                     rng, db_cfg.num_layers, ce_cfg.num_layers, k,
                     cfg.layer_selection)
+                if args.output_dir:
+                    save_checkpoint(args.output_dir, states["db"], done,
+                                    name="lead_db_state")
+                    save_checkpoint(args.output_dir, states["ce"], done,
+                                    name="lead_ce_state")
             states, metrics = step(states, shard_batch(b, mesh),
                                    jnp.asarray(sel_s, jnp.int32),
                                    jnp.asarray(sel_t, jnp.int32))
@@ -960,6 +1121,18 @@ def run_capstone(name: str, cfg, args) -> dict:
 
     rng = np.random.default_rng(args.seed)
     nq = len(data.query_ids)
+    start = 0
+    resume_step = _resume_step(args, "curriculum_state")
+    if resume_step is not None:
+        # the curriculum bucket is a pure function of the step index, so a
+        # resumed run re-enters the same bucket; the sampling rng is
+        # reseeded (fresh draws, same distribution)
+        state = _restore_state(args, state, resume_step, "curriculum_state",
+                               mesh)
+        start = resume_step
+        rng = np.random.default_rng(args.seed + resume_step)
+        print(f"[{name}] resumed at step {resume_step}")
+    save_every = max(1, steps // 5)
 
     def expanded_ctx_row(row: int, question: str, bucket: int,
                          gold_prob: float) -> np.ndarray:
@@ -975,7 +1148,7 @@ def run_capstone(name: str, cfg, args) -> dict:
         return out
 
     last = float("nan")
-    for it in range(steps):
+    for it in range(start, steps):
         bucket, gold_prob = gradual_bucket(
             it, steps, cfg.total_part, cfg.select_generated_query)
         # batch_size is clamped to <= nq above, so no-replacement is safe
@@ -1000,6 +1173,9 @@ def run_capstone(name: str, cfg, args) -> dict:
         if (it + 1) % max(1, steps // 10) == 0:
             logger.log(it + 1, {"loss": last, "bucket": bucket},
                        phase="curriculum")
+        if (it + 1) % save_every == 0 and args.output_dir:
+            save_checkpoint(args.output_dir, state, it + 1,
+                            name="curriculum_state")
 
     # eval over the top-k-query expanded corpus
     # (run_de_model_expand_corpus_cocondenser.sh:44-60 --top_k_query)

@@ -196,6 +196,89 @@ def test_capstone_consumes_seq2seq_tsv(tmp_path):
     assert np.isfinite(out["final_loss"])
 
 
+def test_ar2_resume_matches_uninterrupted(tmp_path, monkeypatch):
+    """Kill/relaunch equivalence (VERDICT r3 #3): a run that dies right
+    after a window-boundary checkpoint, relaunched with the same command,
+    must land on the same final eval as an uninterrupted run. The resume
+    scan is the reference's outer-loop contract
+    (``co_training_wiki_train.py:138-147``,
+    ``run_progressive_distill_marco.py:167-180``)."""
+    from simxns_tpu.train import driver as driver_mod
+
+    def argv(d):
+        return ["--recipe", "nq_ar2_simans", "--synthetic", "--steps", "12",
+                "--batch", "8", "--corpus-size", "64", "--num-queries",
+                "24", "--topk", "8", "--seed", "0", "--output-dir", str(d)]
+
+    full = run_mod.main(argv(tmp_path / "full"))
+
+    real_run = driver_mod.AR2CoTrainer.run
+    mode = {"die": True}
+
+    def dying_run(self, num_steps=None):
+        if mode["die"]:
+            # run exactly one window (iteration = 6 at these shapes): the
+            # boundary checkpoint at step 6 lands, then the process "dies"
+            real_run(self, num_steps=6)
+            raise KeyboardInterrupt("simulated crash")
+        return real_run(self, num_steps)
+
+    monkeypatch.setattr(driver_mod.AR2CoTrainer, "run", dying_run)
+    with pytest.raises(KeyboardInterrupt):
+        run_mod.main(argv(tmp_path / "resumed"))
+    assert any(n.startswith("retriever_state-")
+               for n in os.listdir(tmp_path / "resumed"))
+
+    mode["die"] = False
+    resumed = run_mod.main(argv(tmp_path / "resumed"))
+    assert resumed["top1"] == pytest.approx(full["top1"])
+    assert resumed["mrr10"] == pytest.approx(full["mrr10"], abs=1e-6)
+    with open(os.path.join(tmp_path / "resumed", "eval.json")) as f:
+        assert json.load(f)["steps"] == 12
+
+
+def test_ar2_resume_never_flag(tmp_path):
+    """--resume never ignores saved states (fresh warmup both times)."""
+    argv = _ar2_args(tmp_path, "nq_ar2_simans") + ["--resume", "never"]
+    run_mod.main(argv)
+    out = run_mod.main(argv)           # re-runs from scratch, no restore
+    assert np.isfinite(out["top1"])
+
+
+def test_kd_resume_continues_step_count(tmp_path):
+    base = ["--recipe", "prod_kd_marco", "--synthetic", "--batch", "8",
+            "--corpus-size", "48", "--num-queries", "16",
+            "--output-dir", str(tmp_path)]
+    run_mod.main(base + ["--steps", "8"])
+    assert any(n.startswith("student_state-")
+               for n in os.listdir(tmp_path))
+    out = run_mod.main(base + ["--steps", "12"])
+    assert out["steps"] == 12          # resumed at 8, ran 4 more
+    assert np.isfinite(out["final_loss"])
+
+
+def test_pretrain_resume_continues(tmp_path):
+    base = ["--recipe", "master_pretrain", "--synthetic", "--batch", "8",
+            "--output-dir", str(tmp_path)]
+    run_mod.main(base + ["--steps", "4"])
+    assert any(n.startswith("pretrain_state-")
+               for n in os.listdir(tmp_path))
+    out = run_mod.main(base + ["--steps", "6"])
+    assert np.isfinite(out["final_loss"])
+
+
+def test_lead_resume_continues(tmp_path):
+    base = ["--recipe", "lead_ms_distill", "--synthetic", "--batch", "8",
+            "--corpus-size", "48", "--num-queries", "16",
+            "--output-dir", str(tmp_path)]
+    run_mod.main(base + ["--steps", "12"])   # redraw+save at step 10
+    assert any(n.startswith("lead_db_state-")
+               for n in os.listdir(tmp_path))
+    out = run_mod.main(base + ["--steps", "14"])
+    assert out["steps"] == 14
+    assert np.isfinite(out["final_loss"])
+
+
 def test_allies_recipe_answers_questions(tmp_path):
     out = run_mod.main([
         "--recipe", "allies_qa", "--synthetic", "--steps", "6",
