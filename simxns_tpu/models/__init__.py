@@ -9,7 +9,9 @@ from simxns_tpu.models.seq2seq import (
     seq2seq_lm_loss)
 from simxns_tpu.models.reader import Reader, ReaderConfig, reader_loss
 from simxns_tpu.models.hf_import import (
-    convert_hf_bert, load_hf_bert_encoder, as_biencoder_params)
+    as_biencoder_params, convert_hf_auto, convert_hf_bert,
+    convert_hf_distilbert, convert_hf_electra, convert_hf_roberta,
+    load_hf_bert_encoder, robertadot_projection, sniff_hf_family)
 
 __all__ = [
     "BertConfig",
@@ -30,7 +32,13 @@ __all__ = [
     "Reader",
     "ReaderConfig",
     "reader_loss",
+    "convert_hf_auto",
     "convert_hf_bert",
+    "convert_hf_distilbert",
+    "convert_hf_electra",
+    "convert_hf_roberta",
     "load_hf_bert_encoder",
+    "robertadot_projection",
+    "sniff_hf_family",
     "as_biencoder_params",
 ]

@@ -41,11 +41,24 @@ class BertConfig:
     num_heads: int = 12
     intermediate_size: int = 3072
     max_position_embeddings: int = 512
-    type_vocab_size: int = 2
+    type_vocab_size: int = 2           # 0 = no token-type embeddings
+                                       # (DistilBERT, LEAD/modeling_distilbert.py)
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
+    # family knobs for the reference's non-BERT warm starts
+    position_style: str = "bert"       # "bert": positions = arange(S);
+                                       # "roberta": positions derived from
+                                       # non-pad tokens + pad offset (HF
+                                       # create_position_ids_from_input_ids —
+                                       # the RobertaDot/MS-Doc path,
+                                       # SimANS/model/models.py:340-359)
+    pad_token_id: int = 0              # roberta position derivation uses 1
+    embedding_size: Optional[int] = None  # ELECTRA-style factorized
+                                       # embeddings: tables of this width +
+                                       # a Dense projection to hidden_size
+                                       # (MASTER/finetune/model/models_ele.py)
     # TPU knobs
     dtype: Any = jnp.bfloat16          # activation/compute dtype
     param_dtype: Any = jnp.float32     # master params stay f32
@@ -95,6 +108,9 @@ class BertConfig:
         if self.gelu not in ("exact", "tanh"):
             raise ValueError(f"BertConfig.gelu must be 'exact' or 'tanh', "
                              f"got {self.gelu!r}")
+        if self.position_style not in ("bert", "roberta"):
+            raise ValueError(f"BertConfig.position_style must be 'bert' or "
+                             f"'roberta', got {self.position_style!r}")
         for field, allowed in (
                 ("attention_impl", ("xla", "flash")),
                 ("ffn_impl", ("xla", "fused", "fused_vjp", "int8")),
@@ -167,35 +183,55 @@ class BertEmbeddings(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        width = cfg.embedding_size or cfg.hidden_size
         emb_init = nn.initializers.normal(cfg.initializer_range)
         self.word_embeddings = nn.Embed(
-            cfg.vocab_size, cfg.hidden_size, embedding_init=emb_init,
+            cfg.vocab_size, width, embedding_init=emb_init,
             dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         self.position_embeddings = nn.Embed(
-            cfg.max_position_embeddings, cfg.hidden_size,
+            cfg.max_position_embeddings, width,
             embedding_init=emb_init, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype)
-        self.token_type_embeddings = nn.Embed(
-            cfg.type_vocab_size, cfg.hidden_size, embedding_init=emb_init,
-            dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        if cfg.type_vocab_size > 0:
+            self.token_type_embeddings = nn.Embed(
+                cfg.type_vocab_size, width, embedding_init=emb_init,
+                dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         self.layer_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                                        dtype=cfg.dtype,
                                        param_dtype=cfg.param_dtype)
         self.dropout = nn.Dropout(cfg.hidden_dropout)
+        if width != cfg.hidden_size:
+            # ELECTRA's factorized-embedding projection
+            # (HF ElectraModel.embeddings_project)
+            self.embeddings_project = _dense(cfg, cfg.hidden_size,
+                                             "embeddings_project")
 
     def __call__(self, input_ids, token_type_ids=None, position_ids=None, *,
                  deterministic: bool = True):
+        cfg = self.cfg
         b, s = input_ids.shape
-        if token_type_ids is None:
-            token_type_ids = jnp.zeros((b, s), dtype=jnp.int32)
         if position_ids is None:
-            position_ids = jnp.broadcast_to(
-                jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+            if cfg.position_style == "roberta":
+                # HF create_position_ids_from_input_ids: non-pad tokens get
+                # cumulative positions offset by pad_token_id (first real
+                # token sits at pad_token_id + 1 = 2 for RoBERTa)
+                not_pad = (input_ids != cfg.pad_token_id).astype(jnp.int32)
+                position_ids = jnp.cumsum(not_pad, axis=1) * not_pad \
+                    + cfg.pad_token_id
+            else:
+                position_ids = jnp.broadcast_to(
+                    jnp.arange(s, dtype=jnp.int32)[None], (b, s))
         x = (self.word_embeddings(input_ids)
-             + self.position_embeddings(position_ids)
-             + self.token_type_embeddings(token_type_ids))
+             + self.position_embeddings(position_ids))
+        if cfg.type_vocab_size > 0:
+            if token_type_ids is None:
+                token_type_ids = jnp.zeros((b, s), dtype=jnp.int32)
+            x = x + self.token_type_embeddings(token_type_ids)
         x = self.layer_norm(x)
-        return self.dropout(x, deterministic=deterministic)
+        x = self.dropout(x, deterministic=deterministic)
+        if cfg.embedding_size and cfg.embedding_size != cfg.hidden_size:
+            x = self.embeddings_project(x)
+        return x
 
 
 class BertSelfAttention(nn.Module):

@@ -1,15 +1,23 @@
-"""HF BERT checkpoint import.
+"""HF checkpoint import: BERT, RoBERTa, ELECTRA, DistilBERT.
 
-The reference initializes every model from HF checkpoints (ERNIE-2.0,
-bert-base, coCondenser, released SimXNS artifacts — SURVEY.md §2.3-2.6).
-This converts a HF ``BertModel``/``BertForMaskedLM`` PyTorch ``state_dict``
-into the :class:`simxns_tpu.models.bert.BertEncoder` parameter tree so those
+The reference initializes every model from HF checkpoints — BERT/ERNIE-2.0
+(both use the BERT state_dict layout; PROD student init,
+``PROD/ProD_KD/model/models.py:33-41``), RoBERTa (``RobertaDot``, the whole
+MS-Doc path, ``SimANS/model/models.py:340-359``), ELECTRA (the MASTER CE,
+``MASTER/finetune/model/models_ele.py``), and DistilBERT (the LEAD student,
+``LEAD/modeling_distilbert.py``). These converters turn the PyTorch
+``state_dict`` of each family into the
+:class:`simxns_tpu.models.bert.BertEncoder` parameter tree so those
 artifacts load directly (torch-cpu is only needed at conversion time).
 
-Covers: embeddings (+LayerNorm), all transformer layers, and the MLM head
-(``cls.predictions.*`` -> ``mlm/*`` with the tied-decoder bias). The HF
-pooler head is ignored — the reference never uses it for retrieval
-(``SimANS/model/models.py:80-82`` takes ``seq[:, 0]``).
+Covers: embeddings (+LayerNorm, +ELECTRA's ``embeddings_project``), all
+transformer layers, and the MLM head (``cls.predictions.*`` -> ``mlm/*``
+with the tied-decoder bias). The HF pooler head is ignored — the reference
+never uses it for retrieval (``SimANS/model/models.py:80-82`` takes
+``seq[:, 0]``). Use the matching :class:`BertConfig` knobs with each
+family: RoBERTa needs ``position_style="roberta", pad_token_id=1``;
+DistilBERT needs ``type_vocab_size=0``; ELECTRA-small needs
+``embedding_size``.
 """
 
 from __future__ import annotations
@@ -113,6 +121,215 @@ def convert_hf_bert(
             "bias": _np(sd["cls.predictions.bias"]),
         }
     return params, mlm
+
+
+def convert_hf_roberta(
+    state_dict: Dict[str, "object"],
+    num_layers: Optional[int] = None,
+) -> Tuple[dict, Optional[dict]]:
+    """HF ``RobertaModel``/``RobertaForMaskedLM`` state_dict -> params.
+
+    RoBERTa's encoder layout is byte-identical to BERT's after stripping the
+    ``roberta.`` prefix; only the MLM head differs (``lm_head.*`` flat keys
+    instead of ``cls.predictions.*``). Pair with
+    ``BertConfig(position_style="roberta", pad_token_id=1,
+    type_vocab_size=1)`` — HF RoBERTa derives position ids from non-pad
+    tokens with a pad offset. This is the ``RobertaDot`` warm start
+    (``SimANS/model/models.py:340-359``; MS-Doc,
+    ``SimANS/Doc_training/co_training_doc_train.py``).
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    if any(k.startswith("roberta.") for k in sd):
+        sd = {k[len("roberta."):] if k.startswith("roberta.") else k: v
+              for k, v in sd.items()}
+    params, _ = convert_hf_bert(sd, num_layers=num_layers)
+    mlm = None
+    if "lm_head.dense.weight" in sd:
+        mlm = {
+            "transform": {
+                "kernel": _np(sd["lm_head.dense.weight"]).T,
+                "bias": _np(sd["lm_head.dense.bias"])},
+            "transform_layer_norm": {
+                "scale": _np(sd["lm_head.layer_norm.weight"]),
+                "bias": _np(sd["lm_head.layer_norm.bias"])},
+            "bias": _np(sd["lm_head.bias"]),
+        }
+    return params, mlm
+
+
+def robertadot_projection(state_dict: Dict[str, "object"]) -> Optional[dict]:
+    """``RobertaDot``'s CLS projection head -> BiEncoder tower params.
+
+    The reference's checkpoint carries ``embeddingHead`` (Linear H->out) +
+    ``norm`` (LayerNorm) applied to the CLS vector
+    (``SimANS/model/models.py:340-359``); our tower declares the same pair
+    as ``project``/``project_layer_norm`` (``BiEncoderConfig.projection_dim``).
+    Returns None when the checkpoint has no head (plain RobertaModel).
+    """
+    if "embeddingHead.weight" not in state_dict:
+        return None
+    return {
+        "project": {"kernel": _np(state_dict["embeddingHead.weight"]).T,
+                    "bias": _np(state_dict["embeddingHead.bias"])},
+        "project_layer_norm": {"scale": _np(state_dict["norm.weight"]),
+                               "bias": _np(state_dict["norm.bias"])},
+    }
+
+
+def convert_hf_electra(
+    state_dict: Dict[str, "object"],
+    num_layers: Optional[int] = None,
+) -> Tuple[dict, Optional[dict]]:
+    """HF ``ElectraModel`` (discriminator) state_dict -> encoder params.
+
+    ELECTRA's transformer stack is BERT-layout under the ``electra.``
+    prefix; small variants factorize embeddings to ``embedding_size`` and
+    project to ``hidden_size`` via ``embeddings_project`` (kept under our
+    ``embeddings/embeddings_project``). The discriminator/generator heads
+    are dropped — the reference uses ELECTRA as a plain encoder for its CE
+    reranker (``MASTER/finetune/model/models_ele.py``). Pair with
+    ``BertConfig(embedding_size=...)`` when the checkpoint carries the
+    projection. No MLM head (ELECTRA has none) — returns ``(params, None)``.
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    if any(k.startswith("electra.") for k in sd):
+        sd = {k[len("electra."):]: v for k, v in sd.items()
+              if k.startswith("electra.")}
+    params, _ = convert_hf_bert(sd, num_layers=num_layers)
+    if "embeddings_project.weight" in sd:
+        params["embeddings"]["embeddings_project"] = {
+            "kernel": _np(sd["embeddings_project.weight"]).T,
+            "bias": _np(sd["embeddings_project.bias"])}
+    return params, None
+
+
+def convert_hf_distilbert(
+    state_dict: Dict[str, "object"],
+    num_layers: Optional[int] = None,
+) -> Tuple[dict, None]:
+    """HF ``DistilBertModel`` state_dict -> encoder params.
+
+    DistilBERT is a post-LN BERT with no token-type embeddings and renamed
+    modules (``transformer.layer.N.attention.{q,k,v,out}_lin``,
+    ``sa_layer_norm``, ``ffn.lin{1,2}``, ``output_layer_norm``) — the LEAD
+    student (``LEAD/modeling_distilbert.py``;
+    ``distill_from_12ce_to_6de.sh``). Pair with
+    ``BertConfig(type_vocab_size=0)``.
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    if any(k.startswith("distilbert.") for k in sd):
+        sd = {k[len("distilbert."):]: v for k, v in sd.items()
+              if k.startswith("distilbert.")}
+
+    def dense(name):
+        return {"kernel": _np(sd[f"{name}.weight"]).T,
+                "bias": _np(sd[f"{name}.bias"])}
+
+    def layer_norm(name):
+        return {"scale": _np(sd[f"{name}.weight"]),
+                "bias": _np(sd[f"{name}.bias"])}
+
+    params = {
+        "embeddings": {
+            "word_embeddings": {
+                "embedding": _np(sd["embeddings.word_embeddings.weight"])},
+            "position_embeddings": {
+                "embedding": _np(
+                    sd["embeddings.position_embeddings.weight"])},
+            "layer_norm": layer_norm("embeddings.LayerNorm"),
+        }
+    }
+    i = 0
+    while f"transformer.layer.{i}.attention.q_lin.weight" in sd:
+        if num_layers is not None and i >= num_layers:
+            break
+        base = f"transformer.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": dense(f"{base}.attention.q_lin"),
+                "key": dense(f"{base}.attention.k_lin"),
+                "value": dense(f"{base}.attention.v_lin"),
+                "output": dense(f"{base}.attention.out_lin"),
+                "output_layer_norm": layer_norm(f"{base}.sa_layer_norm"),
+            },
+            "intermediate": dense(f"{base}.ffn.lin1"),
+            "output": dense(f"{base}.ffn.lin2"),
+            "output_layer_norm": layer_norm(f"{base}.output_layer_norm"),
+        }
+        i += 1
+    return params, None
+
+
+_FAMILY_MARKERS = (
+    # (state_dict key marker, family name) — first match wins
+    ("electra.embeddings.", "electra"),
+    ("roberta.embeddings.", "roberta"),
+    ("distilbert.embeddings.", "distilbert"),
+    ("transformer.layer.0.attention.q_lin.weight", "distilbert"),
+    ("lm_head.layer_norm.weight", "roberta"),
+)
+
+
+def sniff_hf_family(state_dict: Dict[str, "object"]) -> str:
+    """Guess the architecture family from state_dict key patterns.
+
+    BERT and ERNIE-2.0 share a layout and both return "bert". Bare (no
+    model-prefix) RoBERTa checkpoints are indistinguishable from BERT by
+    keys alone — prefer the explicit converters when you know the family.
+    """
+    keys = set(state_dict)
+    for marker, family in _FAMILY_MARKERS:
+        if any(marker in k for k in keys):
+            return family
+    return "bert"
+
+
+def convert_hf_auto(state_dict, num_layers=None):
+    """Sniff the family and dispatch to its converter.
+
+    Returns ``(family, encoder_params, mlm_params_or_None)``.
+    """
+    family = sniff_hf_family(state_dict)
+    fn = {"bert": convert_hf_bert, "roberta": convert_hf_roberta,
+          "electra": convert_hf_electra,
+          "distilbert": convert_hf_distilbert}[family]
+    params, mlm = fn(state_dict, num_layers=num_layers)
+    return family, params, mlm
+
+
+def config_from_hf_params(enc_params: dict, family: str, base=None):
+    """Derive the :class:`BertConfig` a converted param tree requires.
+
+    Shapes (vocab/hidden/layers/intermediate/positions/token-types/
+    embedding_size) come from the params; family-specific semantics
+    (RoBERTa position derivation + pad id) from ``family``; TPU knobs
+    (dtype, impls, num_heads — not recoverable from shapes) from ``base``
+    (default :class:`BertConfig`). This is what ``run.py
+    --init-checkpoint`` uses to reshape a recipe config around the actual
+    warm-start artifact.
+    """
+    from simxns_tpu.models.bert import BertConfig
+
+    base = base or BertConfig()
+    emb = enc_params["embeddings"]
+    vocab, width = emb["word_embeddings"]["embedding"].shape
+    hidden = enc_params["layer_0"]["attention"]["query"]["kernel"].shape[0]
+    kw = dict(
+        vocab_size=int(vocab),
+        hidden_size=int(hidden),
+        embedding_size=int(width) if width != hidden else None,
+        num_layers=sum(1 for k in enc_params if k.startswith("layer_")),
+        intermediate_size=int(
+            enc_params["layer_0"]["intermediate"]["kernel"].shape[1]),
+        max_position_embeddings=int(
+            emb["position_embeddings"]["embedding"].shape[0]),
+        type_vocab_size=(
+            int(emb["token_type_embeddings"]["embedding"].shape[0])
+            if "token_type_embeddings" in emb else 0),
+    )
+    if family == "roberta":
+        kw.update(position_style="roberta", pad_token_id=1)
+    return base.replace(**kw)
 
 
 def load_hf_bert_encoder(path_or_state_dict, num_layers=None):

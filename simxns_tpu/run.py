@@ -282,6 +282,76 @@ def _int8_view_cfg(bert_cfg):
                             proj_impl="xla")
 
 
+def _load_init_checkpoint(args):
+    """--init-checkpoint: load + convert a HF PyTorch checkpoint once.
+
+    The reference's published configs all warm-start from HF artifacts
+    (ERNIE-2.0/BERT for PROD and SimANS wiki, RoBERTa for MS-Doc, ELECTRA
+    for the MASTER CE, DistilBERT for the LEAD student — SURVEY.md
+    §2.3-2.6); the family is sniffed from the state_dict so one flag
+    covers them all.
+    """
+    if not args.init_checkpoint:
+        return None
+    import torch
+
+    from simxns_tpu.models import convert_hf_auto
+
+    path = args.init_checkpoint
+    if os.path.isdir(path):
+        path = os.path.join(path, "pytorch_model.bin")
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    family, enc, mlm = convert_hf_auto(sd)
+    n = sum(1 for k in enc if k.startswith("layer_"))
+    print(f"init-checkpoint: {family} encoder, {n} layers",
+          file=sys.stderr)
+    return {"family": family, "encoder": enc, "mlm": mlm, "sd": sd}
+
+
+def _init_bert_cfg(init, base_cfg, data_vocab: int):
+    """Reshape a recipe BertConfig around the warm-start artifact.
+
+    Keeps the recipe's depth when it is SHALLOWER than the checkpoint
+    (the PROD truncated-student init, ``ProD_KD/model/models.py:52-60``);
+    every other shape comes from the checkpoint.
+    """
+    from simxns_tpu.models.hf_import import config_from_hf_params
+
+    new = config_from_hf_params(init["encoder"], init["family"],
+                                base=base_cfg)
+    if base_cfg.num_layers < new.num_layers:
+        new = new.replace(num_layers=base_cfg.num_layers)
+    if new.hidden_size % new.num_heads:
+        raise SystemExit(
+            f"--init-checkpoint hidden_size {new.hidden_size} is not "
+            f"divisible by the recipe's num_heads {new.num_heads}")
+    if data_vocab > new.vocab_size:
+        raise SystemExit(
+            f"--init-checkpoint vocab ({new.vocab_size}) is smaller than "
+            f"the corpus vocab ({data_vocab}) — the data was packed with a "
+            "different tokenizer than the checkpoint's")
+    return new
+
+
+def _graft_encoder(params: dict, init, paths, num_layers: int) -> dict:
+    """Replace encoder subtrees in an initialized param tree in place."""
+    import copy
+
+    import jax
+
+    from simxns_tpu.models.bert import truncate_layers
+
+    enc = truncate_layers(init["encoder"], num_layers)
+    enc = jax.tree_util.tree_map(np.asarray, enc)
+    p = params["params"] if "params" in params else params
+    for path in paths:
+        node = p
+        for key in path[:-1]:
+            node = node[key]
+        node[path[-1]] = copy.deepcopy(enc)
+    return params
+
+
 def _gold_warm(data, k: int):
     """Synthetic "gold" mining result for model warm-up (the reference
     warms from separately-trained checkpoints, e.g.
@@ -446,6 +516,12 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
 
     de_cfg = _bert_cfg(cfg.retriever.bert, tiny, data.vocab_size)
     ce_cfg = _bert_cfg(cfg.reranker.bert, tiny, data.vocab_size)
+    # --init-checkpoint warms the RETRIEVER towers (the reference's DE warm
+    # starts: ERNIE/BERT for wiki/MARCO, RoBERTa for MS-Doc); the reranker
+    # keeps the recipe config (its warm start is a separately-trained CE)
+    init = _load_init_checkpoint(args)
+    if init is not None:
+        de_cfg = _init_bert_cfg(init, de_cfg, data.vocab_size)
     # the RobertaDot-style projection head is for full-size runs only: on
     # the tiny from-scratch synthetic demo an extra random layer stalls the
     # short warm-up (measured: warmup top1 0.71 bare vs 0.08 with the head,
@@ -468,6 +544,12 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     ce_params = ce.init(jax.random.PRNGKey(args.seed + 1),
                         np.ones((2, lj), np.int32),
                         np.ones((2, lj), np.int32))
+    if init is not None:
+        towers = ([("question_model", "encoder")]
+                  if cfg.retriever.share_weight else
+                  [("question_model", "encoder"), ("ctx_model", "encoder")])
+        de_params = _graft_encoder(de_params, init, towers,
+                                   de_cfg.num_layers)
     # the recipe learning rates assume warm full-size checkpoints; the
     # tiny synthetic fallback trains from scratch and needs warmup-scale lrs
     de_lr = args.lr if args.lr is not None else (3e-3 if tiny else None)
@@ -704,11 +786,21 @@ def run_kd(name: str, cfg: KDRecipeConfig, args) -> dict:
     s_cfg = _bert_cfg(cfg.student.bert, tiny, data.vocab_size)
     t_cfg = _bert_cfg(cfg.student.bert.replace(num_layers=12), tiny,
                       data.vocab_size)
+    # --init-checkpoint: the PROD student init — first n layers of a deeper
+    # HF checkpoint (ERNIE-2.0, ProD_KD/model/models.py:33-41,52-60)
+    init = _load_init_checkpoint(args)
+    if init is not None:
+        s_cfg = _init_bert_cfg(init, s_cfg, data.vocab_size)
     student = BiEncoder(BiEncoderConfig(bert=s_cfg))
     teacher = CrossEncoder(CrossEncoderConfig(bert=t_cfg))
     s_params = student.init(jax.random.PRNGKey(args.seed),
                             data.query_ids[:2], data.query_mask[:2],
                             data.corpus_ids[:2], data.corpus_mask[:2])
+    if init is not None:
+        s_params = _graft_encoder(
+            s_params, init,
+            [("question_model", "encoder"), ("ctx_model", "encoder")],
+            s_cfg.num_layers)
     t_params = teacher.init(jax.random.PRNGKey(args.seed + 1),
                             np.ones((2, lj), np.int32),
                             np.ones((2, lj), np.int32))
@@ -838,10 +930,23 @@ def run_pretrain(name: str, cfg: MasterPretrainConfig, args) -> dict:
     bert = _bert_cfg(cfg.bert, tiny, 2048)
     if tiny:
         bert = bert.replace(max_position_embeddings=max(seq, 64))
+    # --init-checkpoint: MASTER pretrains FROM bert-base-uncased
+    # (MASTER/README.md run_pre_training --model_name_or_path) — graft the
+    # encoder and, when the artifact is an MLM checkpoint, the shared head
+    init = _load_init_checkpoint(args)
+    if init is not None:
+        bert = _init_bert_cfg(init, bert, 2048)
     model = Condenser(CondenserConfig(bert=bert,
                                       n_head_layers=cfg.n_head_layers))
     params = model.init(jax.random.PRNGKey(args.seed), coll(examples(2)),
                         deterministic=True)
+    if init is not None:
+        params = _graft_encoder(params, init, [("encoder",)],
+                                bert.num_layers)
+        if init["mlm"] is not None:
+            import jax.tree_util as jtu
+
+            params["params"]["mlm"] = jtu.tree_map(np.asarray, init["mlm"])
     pt_lr = args.lr if args.lr is not None else (1e-3 if tiny else None)
     tx = _make_optim(cfg.optim, pt_lr, steps)
     state = TrainState.create(params, tx)
@@ -918,12 +1023,23 @@ def run_lead(name: str, cfg, args) -> dict:
 
     db_cfg = _bert_cfg(cfg.student.bert, tiny, data.vocab_size)
     ce_cfg = _bert_cfg(cfg.teacher_ce.bert, tiny, data.vocab_size)
+    # --init-checkpoint: the LEAD student warm start (DistilBERT,
+    # LEAD/modeling_distilbert.py + distill_from_12ce_to_6de.sh)
+    init = _load_init_checkpoint(args)
+    if init is not None:
+        db_cfg = _init_bert_cfg(init, db_cfg, data.vocab_size)
     db = BiEncoder(BiEncoderConfig(bert=db_cfg,
                                    share_weight=cfg.student.share_weight))
     ce = CrossEncoder(CrossEncoderConfig(bert=ce_cfg, per_layer_logits=True))
     db_params = db.init(jax.random.PRNGKey(args.seed),
                         data.query_ids[:2], data.query_mask[:2],
                         data.corpus_ids[:2], data.corpus_mask[:2])
+    if init is not None:
+        towers = ([("question_model", "encoder")]
+                  if cfg.student.share_weight else
+                  [("question_model", "encoder"), ("ctx_model", "encoder")])
+        db_params = _graft_encoder(db_params, init, towers,
+                                   db_cfg.num_layers)
     ce_params = ce.init(jax.random.PRNGKey(args.seed + 1),
                         np.ones((2, lj), np.int32),
                         np.ones((2, lj), np.int32))
@@ -1106,12 +1222,22 @@ def run_capstone(name: str, cfg, args) -> dict:
             delimiter=" [SEP] " if cfg.delimiter == "sep" else " ")
 
     bert = _bert_cfg(cfg.retriever.bert, tiny, data.vocab_size)
+    # --init-checkpoint: CAPSTONE inits from coCondenser
+    # (run_de_model_ernie.sh --model_name_or_path co-condenser-marco)
+    init = _load_init_checkpoint(args)
+    if init is not None:
+        bert = _init_bert_cfg(init, bert, data.vocab_size)
     model = BiEncoder(BiEncoderConfig(
         bert=bert, share_weight=cfg.retriever.share_weight,
         pooling=cfg.retriever.pooling))
     params = model.init(jax.random.PRNGKey(args.seed),
                         data.query_ids[:2], data.query_mask[:2],
                         data.corpus_ids[:2], data.corpus_mask[:2])
+    if init is not None:
+        towers = ([("question_model", "encoder")]
+                  if cfg.retriever.share_weight else
+                  [("question_model", "encoder"), ("ctx_model", "encoder")])
+        params = _graft_encoder(params, init, towers, bert.num_layers)
     lr = args.lr if args.lr is not None else (
         3e-3 if tiny else cfg.optim.learning_rate)
     tx = make_adamw(lr, warmup_steps=min(cfg.optim.warmup_steps, steps // 4),

@@ -97,6 +97,167 @@ def test_biencoder_wrapping():
     np.testing.assert_allclose(np.asarray(q), np.asarray(c), atol=1e-6)
 
 
+def test_roberta_matches_torch():
+    """RobertaDot warm start (SimANS/model/models.py:340-359): converted
+    encoder + position_style='roberta' reproduce torch RobertaModel."""
+    cfg = transformers.RobertaConfig(
+        vocab_size=500, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=66, type_vocab_size=1, pad_token_id=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = transformers.RobertaModel(cfg, add_pooling_layer=False).eval()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(2, 500, size=(3, 16)).astype(np.int64)
+    ids[:, 13:] = 1                       # RoBERTa pad id
+    mask = (ids != 1).astype(np.int64)
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(ids),
+                  attention_mask=torch.tensor(mask)
+                  ).last_hidden_state.numpy()
+
+    from simxns_tpu.models.hf_import import convert_hf_roberta
+
+    params, mlm = convert_hf_roberta(hf.state_dict())
+    assert mlm is None
+    our = BertConfig(
+        vocab_size=500, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, max_position_embeddings=66,
+        type_vocab_size=1, position_style="roberta", pad_token_id=1,
+        hidden_dropout=0.0, attention_dropout=0.0, dtype=jnp.float32,
+        attention_impl="xla")
+    got = BertEncoder(our).apply(
+        {"params": params}, jnp.asarray(ids, jnp.int32),
+        jnp.asarray(mask, jnp.int32)).last_hidden_state
+    # compare only non-pad positions (HF computes pad rows too, but they
+    # are masked out of attention and never consumed downstream)
+    np.testing.assert_allclose(np.asarray(got)[:, :13], want[:, :13],
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_robertadot_projection_head():
+    from simxns_tpu.models.hf_import import robertadot_projection
+
+    h = 8
+    sd = {"embeddingHead.weight": torch.randn(h, h),
+          "embeddingHead.bias": torch.randn(h),
+          "norm.weight": torch.ones(h), "norm.bias": torch.zeros(h)}
+    proj = robertadot_projection(sd)
+    assert proj["project"]["kernel"].shape == (h, h)
+    assert proj["project_layer_norm"]["scale"].shape == (h,)
+    assert robertadot_projection({}) is None
+
+
+def test_electra_matches_torch():
+    """MASTER CE warm start (MASTER/finetune/model/models_ele.py): the
+    converted discriminator encoder (with the small-variant
+    embeddings_project) reproduces torch ElectraModel."""
+    cfg = transformers.ElectraConfig(
+        vocab_size=500, embedding_size=32, hidden_size=64,
+        num_hidden_layers=2, num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = transformers.ElectraModel(cfg).eval()
+    rng = np.random.default_rng(2)
+    ids = rng.integers(1, 500, size=(2, 12)).astype(np.int64)
+    mask = np.ones_like(ids)
+    mask[:, 10:] = 0
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(ids),
+                  attention_mask=torch.tensor(mask)
+                  ).last_hidden_state.numpy()
+
+    from simxns_tpu.models.hf_import import convert_hf_electra
+
+    params, _ = convert_hf_electra(hf.state_dict())
+    assert "embeddings_project" in params["embeddings"]
+    our = BertConfig(
+        vocab_size=500, hidden_size=64, embedding_size=32, num_layers=2,
+        num_heads=4, intermediate_size=128, max_position_embeddings=64,
+        hidden_dropout=0.0, attention_dropout=0.0, dtype=jnp.float32,
+        attention_impl="xla")
+    got = BertEncoder(our).apply(
+        {"params": params}, jnp.asarray(ids, jnp.int32),
+        jnp.asarray(mask, jnp.int32)).last_hidden_state
+    np.testing.assert_allclose(np.asarray(got)[:, :10], want[:, :10],
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_distilbert_matches_torch():
+    """LEAD student warm start (LEAD/modeling_distilbert.py): converted
+    q/k/v/out_lin + sa_layer_norm/ffn naming reproduces torch
+    DistilBertModel (no token types)."""
+    cfg = transformers.DistilBertConfig(
+        vocab_size=500, dim=64, n_layers=2, n_heads=4, hidden_dim=128,
+        max_position_embeddings=64, dropout=0.0, attention_dropout=0.0)
+    torch.manual_seed(0)
+    hf = transformers.DistilBertModel(cfg).eval()
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, 500, size=(3, 16)).astype(np.int64)
+    mask = np.ones_like(ids)
+    mask[:, 14:] = 0
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(ids),
+                  attention_mask=torch.tensor(mask)
+                  ).last_hidden_state.numpy()
+
+    from simxns_tpu.models.hf_import import convert_hf_distilbert
+
+    params, _ = convert_hf_distilbert(hf.state_dict())
+    assert "token_type_embeddings" not in params["embeddings"]
+    our = BertConfig(
+        vocab_size=500, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, max_position_embeddings=64,
+        type_vocab_size=0, hidden_dropout=0.0, attention_dropout=0.0,
+        dtype=jnp.float32, attention_impl="xla")
+    got = BertEncoder(our).apply(
+        {"params": params}, jnp.asarray(ids, jnp.int32),
+        jnp.asarray(mask, jnp.int32)).last_hidden_state
+    np.testing.assert_allclose(np.asarray(got)[:, :14], want[:, :14],
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_family_sniffing():
+    from simxns_tpu.models.hf_import import sniff_hf_family
+
+    assert sniff_hf_family(
+        {"roberta.embeddings.word_embeddings.weight": 0}) == "roberta"
+    assert sniff_hf_family(
+        {"electra.embeddings.word_embeddings.weight": 0}) == "electra"
+    assert sniff_hf_family(
+        {"distilbert.embeddings.word_embeddings.weight": 0}) == "distilbert"
+    assert sniff_hf_family(
+        {"transformer.layer.0.attention.q_lin.weight": 0}) == "distilbert"
+    assert sniff_hf_family(
+        {"embeddings.word_embeddings.weight": 0,
+         "lm_head.layer_norm.weight": 0}) == "roberta"
+    assert sniff_hf_family(
+        {"bert.embeddings.word_embeddings.weight": 0}) == "bert"
+
+
+def test_truncated_distilbert_and_electra():
+    """num_layers truncation (the PROD student-init contract) works on
+    every family converter."""
+    cfg = transformers.DistilBertConfig(
+        vocab_size=128, dim=32, n_layers=4, n_heads=2, hidden_dim=64,
+        max_position_embeddings=64, dropout=0.0, attention_dropout=0.0)
+    hf = transformers.DistilBertModel(cfg)
+    from simxns_tpu.models.hf_import import (
+        convert_hf_distilbert, convert_hf_electra)
+
+    params, _ = convert_hf_distilbert(hf.state_dict(), num_layers=2)
+    assert "layer_1" in params and "layer_2" not in params
+
+    ecfg = transformers.ElectraConfig(
+        vocab_size=128, embedding_size=32, hidden_size=32,
+        num_hidden_layers=4, num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64)
+    ehf = transformers.ElectraModel(ecfg)
+    eparams, _ = convert_hf_electra(ehf.state_dict(), num_layers=2)
+    assert "layer_1" in eparams and "layer_2" not in eparams
+
+
 def test_gamma_beta_and_prefixed_mlm_import():
     """Original-format checkpoints name LayerNorm params gamma/beta, and a
     BertForMaskedLM import with an explicit prefix='bert.' must still
