@@ -553,11 +553,11 @@ def stage_ce_attrib(args):
     """Attribute the CE-large step's MFU gap (measured 0.40 vs the ~0.58
     pure-GEMM ceiling): fwd-only / fwd+bwd / +optimizer split, the gelu
     knob, and an S sweep — S=160 is an off-tile sequence length (128+32)
-    and S=256 crosses the flash-attention dispatch boundary. All variants
-    run back-to-back in ONE process so relay session variance cancels.
+    and S=256 crosses the flash-attention dispatch boundary.
 
     Emits one ``ce_attrib`` line with a dict per variant; variants that
-    fail (e.g. S=256 noremat OOM) record their error string instead.
+    fail (in-process error, hard OOM kill, or a killed hang) record their
+    error string instead of silently dropping out of the merged record.
 
     Each variant runs in its OWN subprocess (fresh HBM). Measured round 3:
     the one-process battery OOM'd from the third variant on — every
@@ -573,11 +573,13 @@ def stage_ce_attrib(args):
         import subprocess
 
         t_start = time.time()
+        rcs = {}
         for lab in labels:
             env = dict(os.environ, SIMXNS_CE_ATTRIB_ONLY=lab)
-            subprocess.run(
+            rcs[lab] = subprocess.run(
                 [sys.executable, __file__, "ce_attrib", "--k", str(args.k),
-                 "--batch", str(args.batch)], env=env, check=False)
+                 "--batch", str(args.batch)], env=env, check=False
+            ).returncode
         merged, nm = {}, None
         with open(RESULTS) as f:
             for line in f:
@@ -587,6 +589,15 @@ def stage_ce_attrib(args):
                     nm = rec["shape_nm"]
                     merged.update({k: v for k, v in rec.items()
                                    if k not in ("ts", "stage", "shape_nm")})
+        # a child that died without emitting (hard OOM kill, killed hang)
+        # must still be visible in the merged record
+        for lab in labels:
+            if lab not in merged:
+                merged[lab] = {"error": f"subprocess exit {rcs[lab]}, "
+                                        "no ce_attrib_part emitted"}
+        if all(isinstance(v, dict) and "error" in v
+               for v in merged.values()):
+            merged["error"] = "every variant subprocess failed"
         emit({"stage": "ce_attrib", "shape_nm": nm, **merged})
         return
 

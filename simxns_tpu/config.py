@@ -166,6 +166,12 @@ class LeadRecipeConfig:
     num_distill_layers: int = 3
     layer_selection: str = "random"
     reweight: bool = True
+    train_ce: bool = True                # False = distill from a FROZEN
+                                         # trained CE (the reference wraps
+                                         # frozen models without DDP,
+                                         # LEAD/run_LEAD.py:65-73); frozen
+                                         # teachers take the --fast-teacher
+                                         # fused-int8 view
     save_steps: int = 10                 # layer re-draw interval
     grad_accum: int = 10
     warmup_ratio: float = 0.1

@@ -177,6 +177,93 @@ def trec_ndcg_at_k(
     return total / max(count, 1)
 
 
+def trec_map_at_k(
+    ranked_ids: Mapping[str, Sequence[int]],
+    graded_qrels: Mapping[str, Mapping[int, int]],
+    k: int = 10,
+) -> float:
+    """trec_eval ``map_cut_k`` over graded qrels: average precision with
+    the ranking cut at ``k`` but the denominator = TOTAL relevant count
+    (grade > 0), not min(R, k). The reference reads ``map_cut_10`` from
+    pytrec_eval (``CAPSTONE/utils/evaluate_trec.py:72-107``).
+    """
+    total, count = 0.0, 0
+    for qid, ranked in ranked_ids.items():
+        grades = graded_qrels.get(qid)
+        if not grades:
+            continue
+        count += 1
+        rel = {pid for pid, g in grades.items() if g > 0}
+        if not rel:
+            continue                     # contributes 0 to the mean
+        hits, ap = 0, 0.0
+        for rank, pid in enumerate(ranked[:k]):
+            if pid in rel:
+                hits += 1
+                ap += hits / (rank + 1)
+        total += ap / len(rel)
+    return total / max(count, 1)
+
+
+def trec_recip_rank(
+    ranked_ids: Mapping[str, Sequence[int]],
+    graded_qrels: Mapping[str, Mapping[int, int]],
+) -> float:
+    """trec_eval ``recip_rank``: 1/rank of the first relevant (grade > 0)
+    document in the full submitted ranking (no cutoff)."""
+    total, count = 0.0, 0
+    for qid, ranked in ranked_ids.items():
+        grades = graded_qrels.get(qid)
+        if not grades:
+            continue
+        count += 1
+        rel = {pid for pid, g in grades.items() if g > 0}
+        for rank, pid in enumerate(ranked):
+            if pid in rel:
+                total += 1.0 / (rank + 1)
+                break
+    return total / max(count, 1)
+
+
+def trec_recall_at_k(
+    ranked_ids: Mapping[str, Sequence[int]],
+    graded_qrels: Mapping[str, Mapping[int, int]],
+    k: int = 100,
+) -> float:
+    """trec_eval ``recall_k``: |relevant ∩ top-k| / |relevant| (grade > 0),
+    averaged over evaluated queries — the reference's ``recall_topN``
+    (``CAPSTONE/utils/evaluate_trec.py:100-107``)."""
+    total, count = 0.0, 0
+    for qid, ranked in ranked_ids.items():
+        grades = graded_qrels.get(qid)
+        if not grades:
+            continue
+        count += 1
+        rel = {pid for pid, g in grades.items() if g > 0}
+        if not rel:
+            continue
+        total += sum(1 for pid in ranked[:k] if pid in rel) / len(rel)
+    return total / max(count, 1)
+
+
+def trec_eval_all(
+    ranked_ids: Mapping[str, Sequence[int]],
+    graded_qrels: Mapping[str, Mapping[int, int]],
+    k: int = 10,
+    recall_k: int = 100,
+) -> Dict[str, float]:
+    """The reference's full TREC comparison surface in one call: nDCG@k,
+    map_cut_k, recip_rank, recall_N (``EvalDevQuery``,
+    ``CAPSTONE/utils/evaluate_trec.py:72-107``)."""
+    return {
+        f"ndcg_cut_{k}": trec_ndcg_at_k(ranked_ids, graded_qrels, k),
+        f"map_cut_{k}": trec_map_at_k(ranked_ids, graded_qrels, k),
+        "recip_rank": trec_recip_rank(ranked_ids, graded_qrels),
+        f"recall_{recall_k}": trec_recall_at_k(ranked_ids, graded_qrels,
+                                               recall_k),
+    }
+
+
 def write_eval_result(path: str, top_k_hits: Sequence[float],
                       results_list: Sequence[Sequence[bool]]) -> dict:
     """Write the reference's ``*_eval_result<step>.json`` contract:

@@ -112,6 +112,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "PROD KD, LEAD frozen teachers) through the "
                          "whole-layer fused int8 view of the live teacher "
                          "params")
+    ap.add_argument("--freeze-teachers", action="store_true",
+                    help="LEAD: freeze the CE teacher (train only the "
+                         "student — the reference's frozen-model "
+                         "configuration, LEAD/run_LEAD.py:65-73); combine "
+                         "with --fast-teacher for the int8 teacher view")
     ap.add_argument("--resume", choices=["auto", "never"], default="auto",
                     help="auto (default): scan --output-dir for the highest "
                          "saved *_state checkpoint and continue from it "
@@ -1087,15 +1092,24 @@ def run_lead(name: str, cfg, args) -> dict:
             "ce": _restore_state(args, states["ce"], resume_step,
                                  "lead_ce_state", mesh)}
         print(f"[{name}] resumed at step {resume_step}")
+    train_ce = cfg.train_ce and not args.freeze_teachers
     lead_cfg = LeadConfig(
-        distill_db=True, distill_ce=True, train_db=True, train_ce=True,
+        distill_db=True, distill_ce=True, train_db=True, train_ce=train_ce,
         layer_score=True, reweight=cfg.reweight,
         temperature=cfg.temperature,
         layer_temperature=cfg.layer_temperature)
     k = min(cfg.num_distill_layers, db_cfg.num_layers, ce_cfg.num_layers)
+    # --fast-teacher on a FROZEN CE: its forwards run through the
+    # whole-layer fused int8 view of the live (warmed) params
+    frozen_views = None
+    if args.fast_teacher and not train_ce:
+        view = _int8_view_cfg(ce_cfg)
+        if view is not None:
+            frozen_views = {"ce": CrossEncoder(CrossEncoderConfig(
+                bert=view, per_layer_logits=True))}
     step = make_lead_step({"db": db, "ce": ce},
                           {"db": tx_db, "ce": tx_ce}, mesh, lead_cfg,
-                          num_distill_layers=k)
+                          num_distill_layers=k, frozen_views=frozen_views)
     rng = np.random.default_rng(args.seed)
     sel_s, sel_t = select_layers(rng, db_cfg.num_layers, ce_cfg.num_layers,
                                  k, cfg.layer_selection)
@@ -1329,6 +1343,19 @@ def run_capstone(name: str, cfg, args) -> dict:
     out = {"recipe": name, "steps": steps, "final_loss": last,
            "top1": res.top_k_hits[0],
            "mrr10": res.metrics.get("MRR_n@_10", 0.0)}
+    if args.qrels:
+        # the reference's TREC comparison surface: nDCG@10 + map_cut_10 +
+        # recip_rank + recall_N from graded qrels
+        # (CAPSTONE/utils/evaluate_trec.py:72-107)
+        from simxns_tpu.data import load_trec_qrels
+        from simxns_tpu.evals import trec_eval_all
+
+        graded = load_trec_qrels(args.qrels)
+        topk_ids = np.asarray(res.topk_ids)
+        ranked = {str(i): [int(p) for p in topk_ids[i]]
+                  for i in range(len(data.query_ids))}
+        out["trec"] = trec_eval_all(ranked, graded, k=10,
+                                    recall_k=topk_ids.shape[1])
     if args.output_dir:
         save_checkpoint(args.output_dir, {"params": state.params}, steps,
                         name="retriever")

@@ -21,7 +21,7 @@ the stacked [L, ...] hiddens), so the every-``save_steps`` re-draw
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -98,20 +98,35 @@ def make_lead_step(
     mesh,
     cfg: LeadConfig,
     num_distill_layers: int = 4,
+    frozen_views: Optional[Dict] = None,
 ) -> Callable:
     """Returns ``step(states, batch, sel_student, sel_teacher) ->
     (states, metrics)`` where ``states`` is a dict of TrainState per model
     and ``sel_*`` are [num_distill_layers] int32 layer-index arrays.
+
+    ``frozen_views`` substitutes an alternate module for a FROZEN model's
+    forward while sharing its param tree — e.g. a fused-int8 view of a
+    frozen CE teacher (``run.py --fast-teacher``; the reference wraps
+    frozen models without DDP, ``LEAD/run_LEAD.py:65-73``). Autodiff
+    differentiates only the trained params, so frozen forwards carry no
+    JVP tracers and the encode-only quantized guard does not fire (same
+    contract as ``make_ar2_retriever_step``'s teacher).
     """
     trained = [k for k in ("db", "de", "col", "ce")
                if getattr(cfg, f"train_{k}") and k in models]
     active = [k for k in ("db", "de", "col", "ce")
               if getattr(cfg, f"distill_{k}") and k in models]
+    for k in frozen_views or {}:
+        if k in trained:
+            raise ValueError(
+                f"frozen_views[{k!r}]: model is TRAINED — a quantized view "
+                "has zero/failing gradients; views are for frozen models")
+    fwd_models = {**models, **(frozen_views or {})}
 
     def encoder_outputs(name, params, batch, sel):
         """dict with final scores, selected-layer scores, per-layer hiddens
         (db/de) or selected-layer attention maps (ce)."""
-        model = models[name]
+        model = fwd_models[name]
         if name == "ce":
             n, m, lj = batch["joint_ids"].shape
             out = model.apply(params, batch["joint_ids"].reshape(n * m, lj),

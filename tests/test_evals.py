@@ -88,6 +88,40 @@ def test_trec_ndcg():
     assert abs(trec_ndcg_at_k({"q": [1]}, {"q": {1: 1}}, 5) - 1.0) < 1e-12
 
 
+def test_trec_graded_map_mrr_recall():
+    """pytrec_eval semantics on graded qrels (the reference reads
+    map_cut_10 / recip_rank / recall_N next to ndcg_cut_10,
+    CAPSTONE/utils/evaluate_trec.py:72-107): any grade > 0 counts as
+    relevant; map divides by the TOTAL relevant count, not min(R, k)."""
+    from simxns_tpu.evals import (
+        trec_eval_all, trec_map_at_k, trec_recall_at_k, trec_recip_rank)
+
+    ranked = {"q1": [9, 1, 7, 3, 5], "q2": [4, 8], "q3": [2]}
+    qrels = {"q1": {1: 2, 3: 1, 6: 3},   # 3 relevant; hits at ranks 2, 4
+             "q2": {8: 1, 5: 0},         # grade-0 doc is NOT relevant
+             "q3": {}}                   # empty entry -> skipped
+    # q1 AP@5: hits at rank2 (P=1/2) + rank4 (P=2/4), / R=3
+    ap1 = (1 / 2 + 2 / 4) / 3
+    # q2 AP@5: hit at rank2 (P=1/2) / R=1
+    ap2 = (1 / 2) / 1
+    assert abs(trec_map_at_k(ranked, qrels, 5) - (ap1 + ap2) / 2) < 1e-12
+    # map cut BELOW the second hit: q1 keeps only the rank-2 hit
+    assert abs(trec_map_at_k(ranked, qrels, 3)
+               - ((1 / 2) / 3 + ap2) / 2) < 1e-12
+    # recip_rank: first relevant at rank 2 for both
+    assert abs(trec_recip_rank(ranked, qrels) - (1 / 2 + 1 / 2) / 2) < 1e-12
+    # recall_2: q1 1/3, q2 1/1
+    assert abs(trec_recall_at_k(ranked, qrels, 2)
+               - (1 / 3 + 1) / 2) < 1e-12
+    allm = trec_eval_all(ranked, qrels, k=5, recall_k=2)
+    assert set(allm) == {"ndcg_cut_5", "map_cut_5", "recip_rank",
+                         "recall_2"}
+    # no relevant docs at all -> every metric 0, no division error
+    assert trec_map_at_k({"q": [1]}, {"q": {1: 0}}, 5) == 0.0
+    assert trec_recall_at_k({"q": [1]}, {"q": {1: 0}}, 5) == 0.0
+    assert trec_recip_rank({"q": [1]}, {"q": {1: 0}}) == 0.0
+
+
 def test_simple_tokenizer():
     t = SimpleTokenizer()
     assert t.words("Hello, World!") == ["hello", ",", "world", "!"]

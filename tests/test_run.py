@@ -238,6 +238,26 @@ def test_lead_init_checkpoint_distilbert(tmp_path):
     assert np.isfinite(out["final_loss"])
 
 
+def test_lead_frozen_teacher_int8_view(tmp_path):
+    """--freeze-teachers + --fast-teacher: the frozen CE teacher's joint
+    forwards run through the fused-int8 view (interpreted on CPU) while
+    only the student trains (LEAD/run_LEAD.py:65-73 frozen-model config)."""
+    import simxns_tpu.ops.fused_layer as fl
+
+    old = fl.INTERPRET
+    fl.INTERPRET = True
+    try:
+        out = run_mod.main([
+            "--recipe", "lead_ms_distill", "--synthetic", "--steps", "8",
+            "--batch", "8", "--corpus-size", "48", "--num-queries", "16",
+            "--freeze-teachers", "--fast-teacher",
+            "--output-dir", str(tmp_path)])
+    finally:
+        fl.INTERPRET = old
+    assert np.isfinite(out["final_loss"])
+    assert 0.0 <= out["top1"] <= 1.0
+
+
 def test_ar2_resume_matches_uninterrupted(tmp_path, monkeypatch):
     """Kill/relaunch equivalence (VERDICT r3 #3): a run that dies right
     after a window-boundary checkpoint, relaunched with the same command,
