@@ -260,8 +260,119 @@ def convert_hf_distilbert(
     return params, None
 
 
+def convert_hf_t5(
+    state_dict: Dict[str, "object"],
+) -> dict:
+    """HF ``T5ForConditionalGeneration``/``T5Model`` state_dict ->
+    :class:`simxns_tpu.models.t5.T5` params (the ``{"params": ...}`` tree).
+
+    The docT5query warm start (``castorini/doc2query-t5-base-msmarco``,
+    ``CAPSTONE/models/generate_query.py:115-235``). Covers the shared
+    embedding, the per-stack relative-attention-bias tables (first block
+    only, HF layout), every encoder/decoder block (self/cross attention,
+    DenseReluDense), both final RMS norms, and the LM head when UNTIED
+    (tied checkpoints reuse ``shared`` with the ``d_model**-0.5`` scaling
+    the T5 module applies). Use :func:`t5_config_from_state_dict` for the
+    matching config.
+    """
+    sd = state_dict
+
+    def dense(name):
+        return {"kernel": _np(sd[f"{name}.weight"]).T}
+
+    def rms(name):
+        return {"weight": _np(sd[f"{name}.weight"])}
+
+    def attn(base, flax_name):
+        return {flax_name: {"q": dense(f"{base}.q"), "k": dense(f"{base}.k"),
+                            "v": dense(f"{base}.v"),
+                            "o": dense(f"{base}.o")}}
+
+    params = {
+        "shared_embed": {"embedding": _np(sd["shared.weight"])},
+        "enc_rel_bias": {"embedding": _np(
+            sd["encoder.block.0.layer.0.SelfAttention"
+               ".relative_attention_bias.weight"])},
+        "dec_rel_bias": {"embedding": _np(
+            sd["decoder.block.0.layer.0.SelfAttention"
+               ".relative_attention_bias.weight"])},
+        "enc_final_norm": rms("encoder.final_layer_norm"),
+        "dec_final_norm": rms("decoder.final_layer_norm"),
+    }
+    i = 0
+    while f"encoder.block.{i}.layer.0.SelfAttention.q.weight" in sd:
+        b = f"encoder.block.{i}.layer"
+        params[f"enc_blocks_{i}"] = {
+            **attn(f"{b}.0.SelfAttention", "self_attention"),
+            "self_norm": rms(f"{b}.0.layer_norm"),
+            "wi": dense(f"{b}.1.DenseReluDense.wi"),
+            "wo": dense(f"{b}.1.DenseReluDense.wo"),
+            "ffn_norm": rms(f"{b}.1.layer_norm"),
+        }
+        i += 1
+    i = 0
+    while f"decoder.block.{i}.layer.0.SelfAttention.q.weight" in sd:
+        b = f"decoder.block.{i}.layer"
+        params[f"dec_blocks_{i}"] = {
+            **attn(f"{b}.0.SelfAttention", "self_attention"),
+            "self_norm": rms(f"{b}.0.layer_norm"),
+            **attn(f"{b}.1.EncDecAttention", "cross_attention"),
+            "cross_norm": rms(f"{b}.1.layer_norm"),
+            "wi": dense(f"{b}.2.DenseReluDense.wi"),
+            "wo": dense(f"{b}.2.DenseReluDense.wo"),
+            "ffn_norm": rms(f"{b}.2.layer_norm"),
+        }
+        i += 1
+    if ("lm_head.weight" in sd
+            and _np(sd["lm_head.weight"]) is not _np(sd["shared.weight"])
+            and not np.array_equal(_np(sd["lm_head.weight"]),
+                                   _np(sd["shared.weight"]))):
+        params["lm_head"] = dense("lm_head")
+    return {"params": params}
+
+
+def t5_config_from_state_dict(state_dict, base=None):
+    """Derive the :class:`simxns_tpu.models.t5.T5Config` a converted
+    checkpoint requires (vocab/d_model/d_ff/layers from weight shapes;
+    heads and buckets from the relative-attention-bias table; d_kv =
+    inner/heads; tie from lm_head equality).
+
+    ``relative_attention_max_distance`` is a runtime bucketing parameter
+    with no weight-shape footprint — it CANNOT be derived. It is taken
+    from ``base`` (T5 default 128, which every published T5/docT5query
+    checkpoint uses); pass a base config when importing a nonstandard
+    model."""
+    from simxns_tpu.models.t5 import T5Config
+
+    base = base or T5Config()
+    vocab, d_model = _np(state_dict["shared.weight"]).shape
+    rel = _np(state_dict["encoder.block.0.layer.0.SelfAttention"
+                         ".relative_attention_bias.weight"])
+    buckets, heads = rel.shape
+    inner = _np(state_dict["encoder.block.0.layer.0.SelfAttention"
+                           ".q.weight"]).shape[0]
+    d_ff = _np(state_dict["encoder.block.0.layer.1.DenseReluDense"
+                          ".wi.weight"]).shape[0]
+    n_enc = sum(1 for k in state_dict
+                if k.endswith(".SelfAttention.q.weight")
+                and k.startswith("encoder."))
+    n_dec = sum(1 for k in state_dict
+                if k.endswith(".SelfAttention.q.weight")
+                and k.startswith("decoder."))
+    tied = ("lm_head.weight" not in state_dict
+            or np.array_equal(_np(state_dict["lm_head.weight"]),
+                              _np(state_dict["shared.weight"])))
+    return base.replace(
+        vocab_size=int(vocab), d_model=int(d_model), d_ff=int(d_ff),
+        d_kv=int(inner) // int(heads), num_heads=int(heads),
+        num_layers=int(n_enc), num_decoder_layers=int(n_dec),
+        relative_attention_num_buckets=int(buckets),
+        tie_word_embeddings=bool(tied))
+
+
 _FAMILY_MARKERS = (
     # (state_dict key marker, family name) — first match wins
+    ("SelfAttention.q.weight", "t5"),
     ("electra.embeddings.", "electra"),
     ("roberta.embeddings.", "roberta"),
     ("distilbert.embeddings.", "distilbert"),
@@ -290,6 +401,11 @@ def convert_hf_auto(state_dict, num_layers=None):
     Returns ``(family, encoder_params, mlm_params_or_None)``.
     """
     family = sniff_hf_family(state_dict)
+    if family == "t5":
+        raise ValueError(
+            "T5 checkpoints are encoder-DECODER artifacts — they cannot "
+            "warm-start a BERT-family encoder. Use convert_hf_t5 + "
+            "simxns_tpu.models.t5.T5 (the docT5query generator path).")
     fn = {"bert": convert_hf_bert, "roberta": convert_hf_roberta,
           "electra": convert_hf_electra,
           "distilbert": convert_hf_distilbert}[family]
