@@ -26,6 +26,19 @@ the relay (measured up to -40%) is visible in the number of record instead
 of being quoted away. README quotes THIS script's output, not best-ever
 sessions.
 
+Session calibration (VERDICT r3 weak #1 — BENCH_r03 regressed 28% below
+r02 while capability rose ~2x, because the whole capture landed in a
+degraded relay session): before any stage, a pure-GEMM roofline probe
+(the FFN-shape bf16 chain scripts/train_prof.py anchors against; best
+recorded 0.87 MXU = ~171 TFLOP/s) measures THIS session. Below
+``CAL_MIN_FRAC`` (default 0.7) of the best recorded roofline the bench
+sleeps and re-probes up to ``SIMXNS_BENCH_CAL_TRIES`` times, then runs
+anyway — but every JSON now carries ``session_roofline_tflops`` /
+``session_roofline_frac``, so a slow-session capture is machine-
+distinguishable from a real regression. Each stage also runs one
+full-size warm pass before its timed reps (VERDICT r3 weak #5: rep-1
+was paying session ramp inside its timing).
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
@@ -45,11 +58,73 @@ PEAK_BF16 = 197e12            # v5e bf16 FLOP/s per chip
 REF_CORPUS = 8_800_000        # MARCO passage corpus
 REF_QUERIES = 7_000           # MARCO dev queries mined per refresh
 
+# best pure-GEMM roofline ever recorded on this chip (scripts/train_prof.py
+# FFN-shape bf16 chain, round 3: 0.87 MXU) — the denominator a session is
+# judged against
+BEST_ROOFLINE_TFLOPS = 171.0
+CAL_MIN_FRAC = float(os.environ.get("SIMXNS_BENCH_CAL_MIN", "0.7"))
+CAL_TRIES = int(os.environ.get("SIMXNS_BENCH_CAL_TRIES", "4"))
+CAL_SLEEP_S = 90.0
+
 
 def _encode_flops(B, S, L=12, H=768, F=3072):
     per_tok = L * 2 * (4 * H * H + 2 * H * F)
     attn = L * 2 * 2 * S * S * H
     return B * S * per_tok + B * attn
+
+
+def _probe_roofline(jax, jnp):
+    """This session's pure-GEMM rate (TFLOP/s): the FFN-shape bf16 chain
+    of scripts/train_prof.py, burst-timed with a tiny-slice force (a full
+    transfer through the relay tunnel would swamp the timed region)."""
+    M = 81920
+    a0 = jnp.ones((M, 768), jnp.bfloat16)
+    w1 = jnp.ones((768, 3072), jnp.bfloat16) * 0.01
+    w2 = jnp.ones((3072, 768), jnp.bfloat16) * 0.01
+    n_ch = 8
+
+    @jax.jit
+    def chain(a, w1, w2):
+        def body(x, _):
+            return (x @ w1 @ w2).astype(jnp.bfloat16), ()
+        y, _ = jax.lax.scan(body, a, None, length=n_ch)
+        return y
+
+    for _ in range(2):
+        out = chain(a0, w1, w2)
+    np.asarray(out.ravel()[:1])
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(4):
+            out = chain(a0, w1, w2)
+        np.asarray(out.ravel()[:1])
+        ts.append((time.time() - t0) / 4)
+    fl = n_ch * 2 * M * 768 * 3072 * 2
+    return fl / float(np.median(ts)) / 1e12
+
+
+def _calibrate_session(jax, jnp, on_tpu):
+    """Probe the session; below CAL_MIN_FRAC of the best recorded roofline,
+    sleep and re-probe up to CAL_TRIES times (relay sessions recover), then
+    proceed regardless — the JSON carries the verdict either way."""
+    if not on_tpu:
+        return {"session_roofline_tflops": None,
+                "session_roofline_frac": None, "calibration_attempts": 0}
+    attempts = 0
+    best = 0.0
+    while True:
+        attempts += 1
+        best = max(best, _probe_roofline(jax, jnp))
+        frac = best / BEST_ROOFLINE_TFLOPS
+        print(f"# session roofline probe {attempts}: {best:.1f} TFLOP/s "
+              f"({frac:.2f} of best recorded)", flush=True)
+        if frac >= CAL_MIN_FRAC or attempts > CAL_TRIES:
+            break
+        time.sleep(CAL_SLEEP_S)
+    return {"session_roofline_tflops": round(best, 1),
+            "session_roofline_frac": round(frac, 3),
+            "calibration_attempts": attempts}
 
 
 def main():
@@ -65,6 +140,8 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     mesh = create_mesh()
     n_chips = int(np.prod(list(mesh.shape.values())))
+
+    cal = _calibrate_session(jax, jnp, on_tpu)
 
     # ---- encode rate (the phase's dominant share) -------------------------
     # The whole-layer fused int8 kernel is the encode-path default
@@ -96,7 +173,8 @@ def main():
         lambda p, i, m: model.apply(p, i, m, method="encode_passage"),
         mesh, chunk_size=chunk)
     enc(params, ids[:chunk], mask[:chunk])          # compile
-    encode_times = []
+    enc(params, ids, mask)          # full-size warm pass (session ramp /
+    encode_times = []               # pipeline fill stay out of rep 1)
     for _ in range(REPS):
         t0 = time.time()
         emb = enc(params, ids, mask)                # np round-trip = forced
@@ -144,7 +222,8 @@ def main():
     # a 256-query warmup compiles a different executable (qb=256) and the
     # qb=1024 compile lands inside the timed region (ADVICE r2, medium)
     index.search(q[:1024], 100)                     # compile, qb=1024
-    search_times = []
+    index.search(q, 100)            # full-size warm pass (VERDICT r3 weak
+    search_times = []               # #5: rep-1 paid warmup in its timing)
     for _ in range(REPS):
         t1 = time.time()
         _, ids_found = index.search(q, 100)
@@ -184,6 +263,7 @@ def main():
         "recall_at_100": round(recall, 4),
         "index_rows": n_rows,
         "reps": REPS,
+        **cal,
     }
     print(json.dumps(result))
 
