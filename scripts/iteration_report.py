@@ -1,0 +1,112 @@
+"""Reconcile the CONTINUOUS AR2 iteration with the composed envelope.
+
+VERDICT r3 next-round #2: the 704.2 s iteration number of record was a
+composition (`scripts/bench_r3.py stage_envelope`: each substage timed in
+its own process, `1500*DE + 500*CE + mine`), which excludes host collation,
+dataset refresh (reform_out + retokenize), update_rows, DE<->CE jit-cache
+transitions, and hit labeling. `run.py` now buckets every phase of a real
+run (`MetricLogger.timed` + the train remainder); this script reads a
+continuous run's metrics.jsonl and emits the reconciliation record.
+
+Accounting: the run executes on ONE v5e chip. Train steps run at the
+CHIP-SHARE batch (global 64 / 8 chips = 8), so their wall-clock is already
+the per-chip number the envelope composed. Mine phases (corpus encode,
+search) process the FULL corpus on the one chip; an 8-chip pod row-shards
+both (index/engine.py shard_map), so the projected-pod number divides them
+by 8 — the same convention as stage_envelope's mine_s_v5e8 = mine_s_v5e1/8.
+Host-side phases (dataset_build, hit labeling inside mine, checkpoint) do
+NOT shard; they are charged in full.
+
+    python scripts/iteration_report.py /tmp/iter_r4_full/metrics.jsonl \
+        --steps 2000 --reranker-steps 500
+
+Appends one `continuous_iteration` JSON line to bench_r4_results.jsonl.
+Reference anchor: one SimANS/AR2 iteration = iteration_step train steps +
+a full refresh (train_NQ_AR2.sh:15-50 outer loop).
+"""
+
+import argparse
+import json
+import sys
+
+RESULTS = "/root/repo/bench_r4_results.jsonl"
+
+# phases that shard across pod chips (device-bound, row- or batch-sharded)
+DEVICE_SHARDED = {"encode_corpus", "encode_queries", "search"}
+# host-bound phases: charged in full at any pod size
+HOST = {"dataset_build", "hit_labeling", "checkpoint"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("metrics", help="metrics.jsonl of a continuous run")
+    ap.add_argument("--steps", type=int, default=2000,
+                    help="window steps (iteration_step)")
+    ap.add_argument("--reranker-steps", type=int, default=500)
+    ap.add_argument("--envelope-s", type=float, default=704.2,
+                    help="the composed number of record (bench_r3 "
+                         "iteration_envelope, iteration_wall_clock_s_v5e8)")
+    ap.add_argument("--pod", type=int, default=8)
+    ap.add_argument("--out", default=RESULTS)
+    args = ap.parse_args()
+
+    phases = {}
+    train_spans = []   # (phase, time) rows for the step-loop remainder
+    t_min = t_max = None
+    for line in open(args.metrics):
+        rec = json.loads(line)
+        t = rec.get("time")
+        if t is not None:
+            t_min = t if t_min is None else min(t_min, t)
+            t_max = t if t_max is None else max(t_max, t)
+        ph = rec.get("phase", "")
+        if ph.startswith("timer/"):
+            phases[ph[6:]] = phases.get(ph[6:], 0.0) + rec["seconds"]
+        elif ph in ("retriever", "reranker"):
+            train_spans.append((rec["step"], t))
+
+    if not phases or t_min is None:
+        sys.exit(f"no timer phases found in {args.metrics}")
+
+    total_s = t_max - t_min
+    timed_s = sum(phases.values())
+    # everything not inside a timed bucket is the train loop + its host
+    # overhead (collator slicing, shard_batch puts, flag machine)
+    train_s = max(0.0, total_s - timed_s)
+
+    # ONE iteration = one window's train + ONE refresh. The run performs
+    # two mines (the warm-up mine and the boundary refresh); each phase's
+    # per-occurrence cost is its total / count. Count occurrences:
+    counts = {}
+    for line in open(args.metrics):
+        rec = json.loads(line)
+        ph = rec.get("phase", "")
+        if ph.startswith("timer/"):
+            counts[ph[6:]] = counts.get(ph[6:], 0) + 1
+
+    per_once = {k: phases[k] / max(counts.get(k, 1), 1) for k in phases}
+    mine_once_v5e1 = sum(per_once.get(k, 0.0) for k in DEVICE_SHARDED)
+    host_once = sum(per_once.get(k, 0.0) for k in HOST)
+    iter_v5e1 = train_s + mine_once_v5e1 + host_once
+    iter_pod = train_s + mine_once_v5e1 / args.pod + host_once
+
+    rec = {
+        "stage": "continuous_iteration",
+        "metrics_file": args.metrics,
+        "total_run_s": round(total_s, 1),
+        "phase_totals_s": {k: round(v, 1) for k, v in phases.items()},
+        "phase_counts": counts,
+        "train_window_s": round(train_s, 1),
+        "iteration_s_v5e1": round(iter_v5e1, 1),
+        "iteration_s_v5e%d_projected" % args.pod: round(iter_pod, 1),
+        "composed_envelope_s": args.envelope_s,
+        "continuous_vs_composed": round(iter_pod / args.envelope_s, 3),
+        "steps": args.steps, "reranker_steps": args.reranker_steps,
+    }
+    with open(args.out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec, indent=2))
+
+
+if __name__ == "__main__":
+    main()

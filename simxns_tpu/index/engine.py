@@ -121,6 +121,7 @@ class MIPSIndex:
         self.row_scales: Optional[jax.Array] = None
         self.num_rows = 0
         self._search_cache: Dict[Tuple[int, int], Callable] = {}
+        self._built_shape: Optional[Tuple[int, int]] = None
 
     @property
     def n_shards(self) -> int:
@@ -152,7 +153,23 @@ class MIPSIndex:
             arr = jnp.asarray(embeddings, dtype=self.store_dtype)
             self.embeddings = jax.device_put(
                 arr, NamedSharding(self.mesh, P(DATA_AXIS, None)))
-        self._search_cache.clear()
+        # cached search/update executables bake the padded shape AND the
+        # live-row count (_make_search_fn closes over num_rows for the
+        # padding mask); an AR2 run rebuilds an identically-shaped index at
+        # every refresh and must not re-pay its search compiles each window
+        if self._built_shape != (padded, h, n):
+            self._search_cache.clear()
+            self._built_shape = (padded, h, n)
+
+    def free(self) -> None:
+        """Release the HBM-resident rows (the next :meth:`build` restores
+        them). Between AR2 refreshes the index is dead weight — at the
+        8.8M-row int8 working point, 6.3 GB of a v5e chip's 16 GB — next
+        to the train window's activations; the co-training launcher frees
+        it once the window's dataset is built. Compiled search/update
+        executables survive (they close over no buffers)."""
+        self.embeddings = None
+        self.row_scales = None
 
     def update_rows(self, start: int, embeddings: np.ndarray) -> None:
         """In-place row update (incremental re-encode between phases).

@@ -40,6 +40,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -103,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--int8-index", action="store_true",
                     help="SQ8-analog int8 index storage (half HBM; "
                          "16.7M rows/v5e chip)")
+    ap.add_argument("--index-mode", choices=["exact", "approx", "fused"],
+                    default=None,
+                    help="MIPS search mode (default: fused Pallas kernel "
+                         "on TPU, exact scan on the CPU mesh)")
     ap.add_argument("--fast-encode", action="store_true",
                     help="mine through the whole-layer fused int8 encode "
                          "kernel (TPU; params shared with the bf16 "
@@ -117,6 +122,24 @@ def build_parser() -> argparse.ArgumentParser:
                          "student — the reference's frozen-model "
                          "configuration, LEAD/run_LEAD.py:65-73); combine "
                          "with --fast-teacher for the int8 teacher view")
+    ap.add_argument("--warm-epochs", type=int, default=None,
+                    help="override the warm-up epoch count (AR2 runners). "
+                         "0 skips warm-up entirely — a timing run's "
+                         "stand-in for the reference's pre-trained "
+                         "checkpoint loads (co_training_wiki_train.py:"
+                         "138-147); quality runs should keep the default")
+    ap.add_argument("--remat", choices=["recipe", "de", "ce", "both", "none"],
+                    default="recipe",
+                    help="activation-checkpointing override per model: "
+                         "'ce' remats only the reranker (the BERT-large "
+                         "train step at 128x160 joint rows needs ~14 GB "
+                         "of no-remat activations — it cannot share one "
+                         "v5e chip with an 8.8M-row index), 'de'/'both'/"
+                         "'none' analogous, 'recipe' keeps the config")
+    ap.add_argument("--t5-tokenizer", default=None,
+                    help="local HF T5 tokenizer dir for decoding doc2query "
+                         "generations (capstone_curriculum with a T5 "
+                         "--init-checkpoint)")
     ap.add_argument("--resume", choices=["auto", "never"], default="auto",
                     help="auto (default): scan --output-dir for the highest "
                          "saved *_state checkpoint and continue from it "
@@ -165,7 +188,10 @@ def _bert_cfg(recipe_bert, tiny: bool, vocab: int):
     from simxns_tpu.models import BertConfig
 
     if tiny:
-        return BertConfig.tiny(vocab_size=vocab)
+        # 256 positions: the vectorized synthetic corpus keeps the recipe's
+        # real token lengths (joint rows reach 160), past tiny()'s 128
+        return BertConfig.tiny(vocab_size=vocab,
+                               max_position_embeddings=256)
     return recipe_bert.replace(vocab_size=max(recipe_bert.vocab_size, vocab))
 
 
@@ -306,6 +332,14 @@ def _load_init_checkpoint(args):
     if os.path.isdir(path):
         path = os.path.join(path, "pytorch_model.bin")
     sd = torch.load(path, map_location="cpu", weights_only=True)
+    from simxns_tpu.models import sniff_hf_family
+
+    if sniff_hf_family(sd) == "t5":
+        # not an encoder warm start: the docT5query GENERATOR
+        # (CAPSTONE/models/generate_query.py) — only run_capstone
+        # consumes it, to produce the expansion query TSV
+        print("init-checkpoint: t5 (doc2query generator)", file=sys.stderr)
+        return {"family": "t5", "encoder": None, "mlm": None, "sd": sd}
     family, enc, mlm = convert_hf_auto(sd)
     n = sum(1 for k in enc if k.startswith("layer_"))
     print(f"init-checkpoint: {family} encoder, {n} layers",
@@ -322,6 +356,12 @@ def _init_bert_cfg(init, base_cfg, data_vocab: int):
     """
     from simxns_tpu.models.hf_import import config_from_hf_params
 
+    if init["family"] == "t5":
+        raise SystemExit(
+            "--init-checkpoint is a T5 (doc2query generator) artifact — "
+            "it cannot warm-start a BERT-family encoder. Only "
+            "capstone_curriculum consumes T5 checkpoints (to generate "
+            "the expansion query TSV).")
     new = config_from_hf_params(init["encoder"], init["family"],
                                 base=base_cfg)
     if base_cfg.num_layers < new.num_layers:
@@ -389,10 +429,91 @@ def _gold_warm(data, k: int):
         "hits": [[j == 0 and lab for j in range(k)] for lab in labeled]})()
 
 
+class _FactPassages:
+    """Lazy row -> (text, title) mapping for the vectorized synthetic corpus.
+
+    At reference scale (8.8M rows) an eager dict of formatted strings costs
+    gigabytes and a minute of one-core time; mining only ever reads the
+    top-k rows per query (``index/engine.py`` uses ``passages.get``), so
+    the text is fabricated on access instead.
+    """
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def _make(self, i: int):
+        return (f"document {i} mentions fact{i} and topic{i % 7}",
+                f"title{i}")
+
+    def __getitem__(self, i):
+        if not 0 <= i < self.n:
+            raise KeyError(i)
+        return self._make(int(i))
+
+    def get(self, i, default=("", "")):
+        return self._make(int(i)) if 0 <= i < self.n else default
+
+    def __len__(self):
+        return self.n
+
+    def __contains__(self, i):
+        return 0 <= i < self.n
+
+
+def _synthesize_vectorized(args, data_cfg) -> _Corpus:
+    """Signature-scheme synthetic corpus at FULL recipe token shapes.
+
+    The per-passage ``HashTokenizer.encode`` loop in :func:`_synthesize`
+    is fine at demo sizes but takes hours at 8.8M rows on this one-core
+    host, and caps contexts at 32 tokens. This path generates the token
+    arrays vectorized at the recipe's real lengths (``max_ctx_length`` /
+    ``max_q_length``): passage i carries a unique 4-digit base-64 token
+    signature its query repeats over a common low-entropy background
+    (the scheme validated by scripts/soak_ar2.py — a shared background
+    keeps the signature the dominant CLS variance direction), and the
+    lazy text view carries ``fact{i}`` so mined hits label through the
+    same ``has_answer`` string match as a real corpus.
+    """
+    n, q = args.corpus_size, min(args.num_queries, args.corpus_size)
+    lc = data_cfg.max_ctx_length
+    lq = data_cfg.max_q_length
+    CLS, SEP, BASE = 1, 3, 5
+    JUNK_LO, JUNK_HI = BASE + 4 * 64, BASE + 4 * 64 + 16
+    rng = np.random.default_rng(args.seed)
+
+    def signature(idx):
+        digits = [(idx // 64 ** d) % 64 for d in range(4)]
+        return np.stack([BASE + d * 64 + dig
+                         for d, dig in enumerate(digits)], axis=-1)
+
+    corpus_ids = rng.integers(JUNK_LO, JUNK_HI, size=(n, lc)).astype(np.int32)
+    corpus_ids[:, 0] = CLS
+    corpus_ids[:, 1:5] = signature(np.arange(n))
+    corpus_ids[:, lc - 1] = SEP
+    q_rows = rng.permutation(n)[:q]
+    query_ids = rng.integers(JUNK_LO, JUNK_HI, size=(q, lq)).astype(np.int32)
+    query_ids[:, 0] = CLS
+    query_ids[:, 1:5] = signature(q_rows)
+    # queries share a slice of their passage's background (soak_ar2 scheme)
+    take = min(lq - 6, lc - 5)
+    if take > 0:
+        query_ids[:, 5:5 + take] = corpus_ids[q_rows, 5:5 + take]
+    query_ids[:, lq - 1] = SEP
+    questions = [f"document {p} fact{p}" for p in q_rows]
+    answers = [[f"fact{p}"] for p in q_rows]
+    # golds are permuted across the corpus (unlike the demo path's
+    # diagonal), so carry them explicitly for _gold_warm / gold-score-update
+    return _Corpus(corpus_ids, query_ids, questions, answers,
+                   _FactPassages(n), vocab_size=512, sep_id=SEP,
+                   positive_rows=[[int(p)] for p in q_rows])
+
+
 def _synthesize(args, data_cfg) -> _Corpus:
     """Topic-structured synthetic corpus: query i's answer is `facti`."""
     from simxns_tpu.data import HashTokenizer
 
+    if args.corpus_size > 20_000:
+        return _synthesize_vectorized(args, data_cfg)
     tok = HashTokenizer(vocab_size=2048)
     n, q = args.corpus_size, min(args.num_queries, args.corpus_size)
     lc = min(data_cfg.max_ctx_length, 32)
@@ -504,6 +625,7 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
         AR2Config, AR2CoTrainer, TrainState, make_ar2_retriever_step,
         make_biencoder_step, make_reranker_step)
 
+    t_start = time.time()
     data = _get_corpus(args, cfg.data)
     tiny = args.tiny_models or (
         not args.full_size and not (args.corpus and not args.synthetic))
@@ -521,6 +643,9 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
 
     de_cfg = _bert_cfg(cfg.retriever.bert, tiny, data.vocab_size)
     ce_cfg = _bert_cfg(cfg.reranker.bert, tiny, data.vocab_size)
+    if args.remat != "recipe":
+        de_cfg = de_cfg.replace(remat=args.remat in ("de", "both"))
+        ce_cfg = ce_cfg.replace(remat=args.remat in ("ce", "both"))
     # --init-checkpoint warms the RETRIEVER towers (the reference's DE warm
     # starts: ERNIE/BERT for wiki/MARCO, RoBERTa for MS-Doc); the reranker
     # keeps the recipe config (its warm start is a separately-trained CE)
@@ -590,7 +715,8 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
              else jnp.bfloat16 if args.tpu else jnp.float32)
     index = MIPSIndex(
         mesh, block_size=min(8192, max(32, len(data.corpus_ids) // 4)),
-        store_dtype=store)
+        store_dtype=store,
+        mode=args.index_mode or ("fused" if args.tpu else "exact"))
     engine = RetrievalEngine(index, data.passages, logger=logger)
     # --fast-encode: mine through a fused-int8-layer view of the SAME
     # params (the param trees interchange across layer_impl); training
@@ -612,18 +738,27 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
         mesh, chunk_size=min(1024, max(64, len(data.query_ids))))
 
     def mine(state):
-        index.build(p_enc(state.params, data.corpus_ids, data.corpus_mask))
+        with logger.timed("encode_corpus"):
+            index.build(
+                p_enc(state.params, data.corpus_ids, data.corpus_mask))
+        with logger.timed("encode_queries"):
+            q_emb = q_enc(state.params, data.query_ids, data.query_mask)
+        # engine.mine times its own "search" / "hit_labeling" phases
         return engine.mine(
-            q_enc(state.params, data.query_ids, data.query_mask),
-            data.questions, data.answers, k=topk,
+            q_emb, data.questions, data.answers, k=topk,
             positive_ids=data.positive_rows)
 
     def dataset_from(res, seed):
-        return from_mining_result(
-            data.corpus_ids, data.query_ids, res, num_negatives=negs,
-            max_joint_length=lj, sep_id=data.sep_id, seed=seed,
-            simans_mode=cfg.data.simans_mode, simans_a=cfg.data.simans_a,
-            simans_b=cfg.data.simans_b, simans_tau=cfg.data.simans_tau)
+        with logger.timed("dataset_build"):
+            ds = from_mining_result(
+                data.corpus_ids, data.query_ids, res, num_negatives=negs,
+                max_joint_length=lj, sep_id=data.sep_id, seed=seed,
+                simans_mode=cfg.data.simans_mode, simans_a=cfg.data.simans_a,
+                simans_b=cfg.data.simans_b, simans_tau=cfg.data.simans_tau)
+        # between refreshes the (rebuilt-every-mine) index is dead HBM
+        # weight next to the train window — see MIPSIndex.free
+        index.free()
+        return ds
 
     # -- warmup: both models must start trained (the reference loads
     #    finetuned DE + reranker checkpoints before co-training) -----------
@@ -636,20 +771,24 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
         warm_de = make_biencoder_step(de, tx_warm_de, mesh, grad_mode="full")
         warm_ce = make_reranker_step(ce, tx_warm_ce, mesh,
                                      group_size=1 + negs)
-        warm_epochs = 40 if tiny else max(1, min(25, steps // 4))
-        for _ in range(warm_epochs):
-            for b in warm_ds.batches(batch_size=batch_size, with_joint=False):
-                de_state, wm = warm_de(de_state, shard_batch(b, mesh))
-        # the reranker must be a competent teacher before co-training (the
-        # reference loads checkpoint-reranker26000); warm it harder
-        ce_warm_steps = 0
-        for _ in range(warm_epochs + 20 if tiny else warm_epochs):
-            for b in warm_ds.batches(batch_size=batch_size):
-                dev = shard_batch({"joint_ids": b["joint_ids"],
-                                   "joint_mask": b["joint_mask"]}, mesh)
-                ce_state, cm = warm_ce(ce_state, dev)
-                ce_warm_steps += 1
-        check_teacher_warmth(ce_warm_steps)
+        warm_epochs = (args.warm_epochs if args.warm_epochs is not None
+                       else 40 if tiny else max(1, min(25, steps // 4)))
+        with logger.timed("warmup"):
+            for _ in range(warm_epochs):
+                for b in warm_ds.batches(batch_size=batch_size,
+                                         with_joint=False):
+                    de_state, wm = warm_de(de_state, shard_batch(b, mesh))
+            # the reranker must be a competent teacher before co-training
+            # (the reference loads checkpoint-reranker26000); warm it harder
+            ce_warm_steps = 0
+            for _ in range(warm_epochs + 20 if tiny else warm_epochs):
+                for b in warm_ds.batches(batch_size=batch_size):
+                    dev = shard_batch({"joint_ids": b["joint_ids"],
+                                       "joint_mask": b["joint_mask"]}, mesh)
+                    ce_state, cm = warm_ce(ce_state, dev)
+                    ce_warm_steps += 1
+        if warm_epochs:
+            check_teacher_warmth(ce_warm_steps)
         res = mine(de_state)
         guard.update(res.top_k_hits[0])
         logger.log(0, {"top1": res.top_k_hits[0],
@@ -725,10 +864,11 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
         # checkpoint-reranker<step> at each break-out,
         # co_training_wiki_train.py:300-306,319-354)
         if args.output_dir:
-            save_checkpoint(args.output_dir, de_s, gstep,
-                            name="retriever_state")
-            save_checkpoint(args.output_dir, ce_s, gstep,
-                            name="reranker_state")
+            with logger.timed("checkpoint"):
+                save_checkpoint(args.output_dir, de_s, gstep,
+                                name="retriever_state")
+                save_checkpoint(args.output_dir, ce_s, gstep,
+                                name="reranker_state")
 
     trainer = AR2CoTrainer(
         mesh,
@@ -745,11 +885,23 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     trainer.run()
 
     final = mine(trainer.de_state)
+    # per-phase wall-clock split (the continuous-iteration evidence the
+    # composed bench_r3 envelope cannot capture: host collation, dataset
+    # refresh, jit transitions, labeling all land in these buckets)
+    total_s = time.time() - t_start
+    phases = {k: round(v, 1) for k, v in logger.phase_times.items()}
+    phases["train_steps_and_overhead"] = round(
+        max(0.0, total_s - sum(logger.phase_times.values())), 1)
+    print(f"[{name}] phase split ({total_s:.1f}s total):")
+    for k, v in sorted(phases.items(), key=lambda kv: -kv[1]):
+        print(f"    {k:24s} {v:9.1f}s  {100 * v / total_s:5.1f}%")
     out = {"recipe": name, "steps": steps,
            "top1": final.top_k_hits[0],
            "top5": final.top_k_hits[min(4, topk - 1)],
            "mrr10": final.metrics.get("MRR_n@_10", 0.0),
-           "history_top1": history}
+           "history_top1": history,
+           "total_s": round(total_s, 1),
+           "phase_times_s": phases}
     if args.output_dir:
         save_checkpoint(args.output_dir,
                         {"params": trainer.de_state.params}, steps,
@@ -1180,6 +1332,38 @@ def run_lead(name: str, cfg, args) -> dict:
     return out
 
 
+def _doc2query_generate(t5_init, data, args, cfg) -> str:
+    """Generate the docT5query expansion TSV from a T5 checkpoint — the
+    reference's standalone generation stage
+    (``CAPSTONE/models/generate_query.py:115-235``), run inline when
+    ``--init-checkpoint`` is a T5 artifact. Decoding generated ids back
+    to text needs the T5 tokenizer (``--t5-tokenizer`` dir; the corpus'
+    BERT-family tokenizer cannot decode T5 ids)."""
+    from simxns_tpu.models import (
+        T5, convert_hf_t5, doc2query_tsv, t5_config_from_state_dict)
+
+    if not args.t5_tokenizer:
+        raise SystemExit(
+            "--init-checkpoint is a T5 (doc2query) artifact; pass "
+            "--t5-tokenizer <local dir> so generated ids can be decoded")
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(args.t5_tokenizer)
+    model = T5(t5_config_from_state_dict(t5_init["sd"]))
+    params = convert_hf_t5(t5_init["sd"])
+    out = os.path.join(args.output_dir or ".", "doc2query.tsv")
+    n = len(data.corpus_ids)
+    doc2query_tsv(
+        model, params, tok,
+        ((i, data.passages.get(i, ("", ""))[0]) for i in range(n)),
+        out, num_queries=cfg.total_part, seed=args.seed)
+    print(f"[capstone] doc2query TSV written: {out} ({n} passages x "
+          f"{cfg.total_part} queries)", file=sys.stderr)
+    return out
+
+
 def run_capstone(name: str, cfg, args) -> dict:
     """CAPSTONE curriculum DE training over doc2query-expanded passages.
 
@@ -1205,8 +1389,9 @@ def run_capstone(name: str, cfg, args) -> dict:
         raise SystemExit(
             "capstone_curriculum re-tokenizes expanded passage text per "
             "batch; prepared token-only corpora are not supported — run "
-            "--synthetic, or extend _load_prepared with a text corpus + "
-            "tokenizer")
+            "--synthetic at demo scale (<= 20000 passages; larger synthetic "
+            "corpora are vectorized token-only), or extend _load_prepared "
+            "with a text corpus + tokenizer")
     tok = data.tokenizer
     tiny = not args.full_size
     mesh = create_mesh()
@@ -1219,10 +1404,23 @@ def run_capstone(name: str, cfg, args) -> dict:
     m = 1 + negs
     lc = data.corpus_ids.shape[1]
 
+    # --init-checkpoint: CAPSTONE inits the DE from coCondenser
+    # (run_de_model_ernie.sh --model_name_or_path co-condenser-marco);
+    # a T5 checkpoint is instead the docT5query GENERATOR — it produces
+    # the expansion query TSV (generate_query.py:115-235)
+    init = _load_init_checkpoint(args)
+    t5_init = None
+    if init is not None and init["family"] == "t5":
+        t5_init, init = init, None
+
+    delim = " [SEP] " if cfg.delimiter == "sep" else " "
     if args.query_tsv:
         expander = QueryExpander.from_tsv(
-            args.query_tsv, total_part=cfg.total_part,
-            delimiter=" [SEP] " if cfg.delimiter == "sep" else " ")
+            args.query_tsv, total_part=cfg.total_part, delimiter=delim)
+    elif t5_init is not None:
+        tsv = _doc2query_generate(t5_init, data, args, cfg)
+        expander = QueryExpander.from_tsv(
+            tsv, total_part=cfg.total_part, delimiter=delim)
     else:
         # synthetic doc2query output: per-passage queries of varying
         # gold-similarity so the curriculum has something to order
@@ -1232,13 +1430,9 @@ def run_capstone(name: str, cfg, args) -> dict:
                 f"unrelated noise {i * 7 % 97}"]  # far
             for i in range(len(data.corpus_ids))}
         expander = QueryExpander(
-            queries=queries, total_part=cfg.total_part,
-            delimiter=" [SEP] " if cfg.delimiter == "sep" else " ")
+            queries=queries, total_part=cfg.total_part, delimiter=delim)
 
     bert = _bert_cfg(cfg.retriever.bert, tiny, data.vocab_size)
-    # --init-checkpoint: CAPSTONE inits from coCondenser
-    # (run_de_model_ernie.sh --model_name_or_path co-condenser-marco)
-    init = _load_init_checkpoint(args)
     if init is not None:
         bert = _init_bert_cfg(init, bert, data.vocab_size)
     model = BiEncoder(BiEncoderConfig(
@@ -1390,7 +1584,7 @@ def run_allies(name: str, cfg, args) -> dict:
     data = _get_corpus(args, DataConfig())
     if data.tokenizer is None:
         raise SystemExit("allies_qa needs a text corpus with a tokenizer; "
-                         "run --synthetic")
+                         "run --synthetic at demo scale (<= 20000 passages)")
     tok = data.tokenizer
     mesh = create_mesh()
     logger = MetricLogger(args.output_dir)
