@@ -161,6 +161,111 @@ class MIPSIndex:
             self._search_cache.clear()
             self._built_shape = (padded, h, n)
 
+    def build_streaming(self, encode_fn: Callable, params, token_ids: np.ndarray,
+                        chunk_size: int = 1024, pad_id: int = 0,
+                        wire_dtype=None) -> None:
+        """Build the index without the embeddings ever visiting the host.
+
+        :meth:`build` via :class:`CorpusEncoder` round-trips the full corpus
+        over the wire three times — int32 token ids up, f32 embeddings down
+        for host quantization, codes back up (~43 GB at the 8.8M x 768
+        working point; measured to dominate the mine's encode phase on the
+        relay-attached chip). This path fuses encode -> quantize -> scatter
+        into ONE jitted program per chunk: only narrow token ids travel
+        (uint16 when the vocab fits — BERT's 30522 does), the attention
+        mask is derived on device (``ids != pad_id``, the exact
+        ``_Corpus.corpus_mask`` contract), embeddings are quantized on
+        device (same math as :meth:`update_rows`), and the donated index
+        buffer is updated in place. Wire traffic drops ~10x.
+
+        Replaces the reference's encode + pickle-to-disk + rank-0 FAISS
+        ``index.add`` merge (``co_training_generate_new_train_wiki.py:
+        239-280``) with a device-resident build.
+
+        HBM note: the full index buffer is live DURING encode here (unlike
+        :meth:`build`, which allocates it after). Callers must clear dead
+        weight first — see ``parallel/offload.HostStash`` and the AR2
+        runner's mine phase.
+        """
+        import math
+
+        n, seq_len = token_ids.shape
+        self.num_rows = n
+        if wire_dtype is None:
+            wire_dtype = token_ids.dtype
+        # dynamic_update_slice CLAMPS out-of-range starts (silently
+        # corrupting earlier rows), so the buffer must hold a whole number
+        # of chunks as well as a whole number of shard blocks
+        unit = math.lcm(chunk_size, self.n_shards * self.block_size)
+        padded = pad_to_multiple(n, unit)
+        h = jax.eval_shape(
+            encode_fn, params,
+            jax.ShapeDtypeStruct((chunk_size, seq_len), jnp.int32),
+            jax.ShapeDtypeStruct((chunk_size, seq_len), jnp.int32),
+        ).shape[-1]
+
+        multi = self.mesh.size > 1
+        emb_s = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        scale_s = NamedSharding(self.mesh, P(DATA_AXIS))
+        alloc = jax.jit(
+            lambda: (jnp.zeros((padded, h), self.store_dtype),
+                     jnp.ones((padded,), jnp.float32)),
+            **({"out_shardings": (emb_s, scale_s)} if multi else {}))
+        buf, scales = alloc()
+
+        key = ("stream", chunk_size, seq_len, h, self.quantized)
+        if key not in self._search_cache:
+            self._search_cache[key] = self._make_stream_fn(
+                encode_fn, pad_id, multi, emb_s, scale_s)
+        fn = self._search_cache[key]
+
+        for s in range(0, n, chunk_size):
+            ids = token_ids[s: s + chunk_size]
+            if ids.shape[0] < chunk_size:
+                ids = np.pad(ids, ((0, chunk_size - ids.shape[0]), (0, 0)))
+            buf, scales = fn(params, buf, scales,
+                             jnp.asarray(s, jnp.int32),
+                             jnp.asarray(ids.astype(wire_dtype, copy=False)))
+        self.embeddings = buf
+        self.row_scales = scales if self.quantized else None
+        if self._built_shape != (padded, h, n):
+            # keep the "stream" entry: it does not bake the row count
+            stale = [k for k in self._search_cache if k[0] != "stream"]
+            for k in stale:
+                del self._search_cache[k]
+            self._built_shape = (padded, h, n)
+
+    def _make_stream_fn(self, encode_fn: Callable, pad_id: int, multi: bool,
+                        emb_s, scale_s) -> Callable:
+        """One donated jit: ids -> encode -> (quantize) -> scatter."""
+        quantized = self.quantized
+        store = self.store_dtype
+
+        def fn(params, buf, scales, start, ids_wire):
+            ids = ids_wire.astype(jnp.int32)
+            mask = (ids != pad_id).astype(jnp.int32)
+            emb = encode_fn(params, ids, mask).astype(jnp.float32)
+            # all-pad rows (tail padding) can encode to NaN (empty-mask
+            # pooling); zero them so no NaN enters the score matmul
+            emb = jnp.where((mask.sum(axis=1) > 0)[:, None], emb, 0.0)
+            if quantized:
+                sc = jnp.maximum(jnp.abs(emb).max(axis=1) / 127.0, 1e-12)
+                codes = jnp.clip(jnp.round(emb / sc[:, None]),
+                                 -127, 127).astype(jnp.int8)
+                return (jax.lax.dynamic_update_slice(buf, codes, (start, 0)),
+                        jax.lax.dynamic_update_slice(
+                            scales, sc.astype(jnp.float32), (start,)))
+            return (jax.lax.dynamic_update_slice(
+                        buf, emb.astype(store), (start, 0)),
+                    scales)
+
+        kw = {}
+        if multi:
+            kw["out_shardings"] = (emb_s, scale_s)
+            kw["in_shardings"] = (None, emb_s, scale_s, None,
+                                  NamedSharding(self.mesh, P(DATA_AXIS, None)))
+        return jax.jit(fn, donate_argnums=(1, 2), **kw)
+
     def free(self) -> None:
         """Release the HBM-resident rows (the next :meth:`build` restores
         them). Between AR2 refreshes the index is dead weight — at the

@@ -112,6 +112,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="mine through the whole-layer fused int8 encode "
                          "kernel (TPU; params shared with the bf16 "
                          "training model)")
+    ap.add_argument("--stream-build", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="build the MIPS index with the device-resident "
+                         "encode->quantize->scatter path (uint16 ids on "
+                         "the wire, no host round-trip of embeddings); "
+                         "auto = on (off is the A/B escape hatch)")
+    ap.add_argument("--offload-mine", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="stash the reranker state to host RAM during "
+                         "mine phases (it is dead HBM weight next to the "
+                         "index); auto = on for full-size runs")
     ap.add_argument("--fast-teacher", action="store_true",
                     help="run frozen-teacher forwards (AR2 retriever step, "
                          "PROD KD, LEAD frozen teachers) through the "
@@ -730,23 +741,48 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
                 share_weight=cfg.retriever.share_weight,
                 pooling=cfg.retriever.pooling,
                 projection_dim=proj))
-    p_enc = CorpusEncoder(
-        lambda p, i, m: enc_model.apply(p, i, m, method="encode_passage"),
-        mesh, chunk_size=min(1024, max(64, len(data.corpus_ids) // 4)))
+    corpus_chunk = min(1024, max(64, len(data.corpus_ids) // 4))
+    p_enc_fn = lambda p, i, m: enc_model.apply(p, i, m,
+                                               method="encode_passage")
+    p_enc = CorpusEncoder(p_enc_fn, mesh, chunk_size=corpus_chunk)
     q_enc = CorpusEncoder(
         lambda p, i, m: enc_model.apply(p, i, m, method="encode_query"),
         mesh, chunk_size=min(1024, max(64, len(data.query_ids))))
+    stream_build = args.stream_build != "off"
+    # token ids travel the wire every refresh — uint16 when the vocab fits
+    wire_dtype = np.uint16 if data.vocab_size <= 0xFFFF else np.int32
+    # the mine phase holds the index + DE params; the reranker state is
+    # dead weight there (~4 GB at recipe scale on a 16 GB chip)
+    offload_mine = (args.offload_mine == "on"
+                    or (args.offload_mine == "auto" and args.full_size))
 
     def mine(state):
         with logger.timed("encode_corpus"):
-            index.build(
-                p_enc(state.params, data.corpus_ids, data.corpus_mask))
+            if stream_build:
+                index.build_streaming(
+                    p_enc_fn, state.params, data.corpus_ids,
+                    chunk_size=corpus_chunk, wire_dtype=wire_dtype)
+            else:
+                index.build(
+                    p_enc(state.params, data.corpus_ids, data.corpus_mask))
         with logger.timed("encode_queries"):
             q_emb = q_enc(state.params, data.query_ids, data.query_mask)
         # engine.mine times its own "search" / "hit_labeling" phases
         return engine.mine(
             q_emb, data.questions, data.answers, k=topk,
             positive_ids=data.positive_rows)
+
+    from simxns_tpu.parallel.offload import HostStash
+
+    def mine_offloaded(state, ce_s):
+        """mine() with the reranker state stashed to host for the duration
+        (the in-window refreshes get the same treatment from
+        ``AR2CoTrainer(offload_refresh=...)``)."""
+        if not offload_mine:
+            return mine(state), ce_s
+        stash = HostStash(ce_s)
+        r = mine(state)
+        return r, stash.restore()
 
     def dataset_from(res, seed):
         with logger.timed("dataset_build"):
@@ -789,7 +825,7 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
                     ce_warm_steps += 1
         if warm_epochs:
             check_teacher_warmth(ce_warm_steps)
-        res = mine(de_state)
+        res, ce_state = mine_offloaded(de_state, ce_state)
         guard.update(res.top_k_hits[0])
         logger.log(0, {"top1": res.top_k_hits[0],
                        "mrr10": res.metrics.get("MRR_n@_10", 0.0)},
@@ -808,7 +844,7 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
                                   resume_step, "retriever_state", mesh)
         ce_state = _restore_state(args, TrainState.create(ce_params, tx_ce),
                                   resume_step, "reranker_state", mesh)
-        res = mine(de_state)
+        res, ce_state = mine_offloaded(de_state, ce_state)
         guard.update(res.top_k_hits[0])
         logger.log(resume_step, {"top1": res.top_k_hits[0]},
                    phase="resume_eval")
@@ -879,12 +915,14 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
                   log_every=max(1, steps // 10)),
         de_state, ce_state, r_step, c_step,
         batches=first_batches,
-        refresh_fn=refresh, checkpoint_fn=checkpoint, metric_logger=logger)
+        refresh_fn=refresh, checkpoint_fn=checkpoint, metric_logger=logger,
+        offload_refresh=offload_mine)
     if resume_step is not None:
         trainer.global_step = resume_step
     trainer.run()
 
-    final = mine(trainer.de_state)
+    final, trainer.ce_state = mine_offloaded(trainer.de_state,
+                                             trainer.ce_state)
     # per-phase wall-clock split (the continuous-iteration evidence the
     # composed bench_r3 envelope cannot capture: host collation, dataset
     # refresh, jit transitions, labeling all land in these buckets)

@@ -126,6 +126,11 @@ class AR2CoTrainer:
                     ``(de_state, global_step)``; returns a new ``batches``
                     callable built from freshly mined data (or None to keep)
     checkpoint_fn:  optional ``(de_state, ce_state, global_step) -> None``
+    offload_refresh: stash the reranker state to host RAM for the duration
+                    of each ``refresh_fn`` call (it is dead weight while the
+                    corpus re-encodes and the index searches — at recipe
+                    scale ~4 GB the mine phase needs; see
+                    ``parallel/offload.HostStash``)
     """
 
     def __init__(
@@ -140,6 +145,7 @@ class AR2CoTrainer:
         refresh_fn: Optional[Callable] = None,
         checkpoint_fn: Optional[Callable] = None,
         metric_logger=None,
+        offload_refresh: bool = False,
     ):
         self.mesh = mesh
         self.cfg = cfg
@@ -151,6 +157,7 @@ class AR2CoTrainer:
         self.refresh_fn = refresh_fn
         self.checkpoint_fn = checkpoint_fn
         self.metric_logger = metric_logger
+        self.offload_refresh = offload_refresh
         self.global_step = 0
         self.history: List[Dict] = []
 
@@ -215,8 +222,15 @@ class AR2CoTrainer:
                     self.checkpoint_fn(self.de_state, self.ce_state,
                                        self.global_step)
                 if self.refresh_fn is not None:
+                    stash = None
+                    if self.offload_refresh:
+                        from simxns_tpu.parallel.offload import HostStash
+
+                        stash = HostStash(self.ce_state)
                     new_batches = self.refresh_fn(self.de_state,
                                                   self.global_step)
+                    if stash is not None:
+                        self.ce_state = stash.restore()
                     if new_batches is not None:
                         self.batches = new_batches
                         it = iter(self.batches())

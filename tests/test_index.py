@@ -261,3 +261,68 @@ def test_index_update_rows_crossing_shard_boundary():
         s2, i2 = oracle.search(q, 5)
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+
+
+def _toy_encode(params, ids, mask):
+    """Embedding-table mean pool — a stand-in for encode_passage."""
+    emb = params[ids]
+    m = mask[..., None].astype(jnp.float32)
+    return (emb * m).sum(1) / jnp.maximum(m.sum(1), 1e-9)
+
+
+def _toy_encode_np(table, ids):
+    mask = (ids != 0).astype(np.float32)[..., None]
+    emb = table[ids] * mask
+    return emb.sum(1) / np.maximum(mask.sum(1), 1e-9)
+
+
+def test_build_streaming_matches_host_build():
+    """Device-side encode->quantize->scatter == host encode + build().
+
+    The streaming path ships uint16 ids only, derives the mask on device
+    (ids != 0, the _Corpus.corpus_mask contract), quantizes on device, and
+    scatters into a donated buffer; search results must be identical to
+    the host round-trip path for int8, bf16 and f32 storage."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(16)
+    n, L, V, h = 203, 12, 50, 16           # n not a multiple of anything
+    table = rng.standard_normal((V, h)).astype(np.float32)
+    ids = rng.integers(1, V, size=(n, L)).astype(np.int32)
+    ids[5, :] = 0                          # an all-pad row mid-corpus
+    ids[:, L - 2:] = 0                     # trailing pad on every row
+    host_emb = _toy_encode_np(table, ids)
+    q = rng.standard_normal((9, h)).astype(np.float32)
+    for dtype in (jnp.int8, jnp.bfloat16, jnp.float32):
+        stream = MIPSIndex(mesh, block_size=8, store_dtype=dtype)
+        stream.build_streaming(_toy_encode, jnp.asarray(table), ids,
+                               chunk_size=32, wire_dtype=np.uint16)
+        oracle = MIPSIndex(mesh, block_size=8, store_dtype=dtype)
+        oracle.build(host_emb)
+        assert stream.num_rows == n
+        s1, i1 = stream.search(q, 5)
+        s2, i2 = oracle.search(q, 5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+
+
+def test_build_streaming_rebuild_and_free():
+    """A free() -> build_streaming() cycle (the AR2 refresh pattern) reuses
+    the cached executable and produces a fresh, correct index."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(17)
+    table = rng.standard_normal((40, 8)).astype(np.float32)
+    ids = rng.integers(1, 40, size=(64, 6)).astype(np.int32)
+    index = MIPSIndex(mesh, block_size=8, store_dtype=jnp.int8)
+    index.build_streaming(_toy_encode, jnp.asarray(table), ids, chunk_size=16)
+    n_compiled = len(index._search_cache)
+    index.free()
+    assert index.embeddings is None
+    table2 = rng.standard_normal((40, 8)).astype(np.float32)
+    index.build_streaming(_toy_encode, jnp.asarray(table2), ids, chunk_size=16)
+    assert len(index._search_cache) == n_compiled    # no recompile
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    _, i1 = index.search(q, 5)
+    oracle = MIPSIndex(mesh, block_size=8, store_dtype=jnp.int8)
+    oracle.build(_toy_encode_np(table2, ids))
+    _, i2 = oracle.search(q, 5)
+    np.testing.assert_array_equal(i1, i2)

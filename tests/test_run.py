@@ -350,3 +350,28 @@ def test_allies_recipe_answers_questions(tmp_path):
     assert out["retrievals_per_q"] >= 1
     with open(os.path.join(tmp_path, "eval.json")) as f:
         assert "f1" in json.load(f)
+
+
+def test_ar2_offload_mine_matches_default(tmp_path):
+    """--offload-mine on (reranker state round-trips through host RAM at
+    every mine) must be bit-identical to the default in-HBM run: the stash
+    is a pure data movement (parallel/offload.HostStash), exercised here
+    through all three sites (post-warmup, in-window refresh, final)."""
+    out_a = run_mod.main(_ar2_args(tmp_path / "a", "nq_ar2_simans",
+                                   extra=("--offload-mine", "off")))
+    out_b = run_mod.main(_ar2_args(tmp_path / "b", "nq_ar2_simans",
+                                   extra=("--offload-mine", "on")))
+    assert out_a["top1"] == out_b["top1"]
+    assert out_a["history_top1"] == out_b["history_top1"]
+
+
+def test_ar2_stream_build_matches_host_build(tmp_path):
+    """--stream-build on (the default) vs off: the device-side
+    encode->quantize->scatter index build must reproduce the host
+    round-trip build's mining trajectory exactly."""
+    out_a = run_mod.main(_ar2_args(tmp_path / "a", "nq_ar2_simans",
+                                   extra=("--stream-build", "off")))
+    out_b = run_mod.main(_ar2_args(tmp_path / "b", "nq_ar2_simans",
+                                   extra=("--stream-build", "on")))
+    assert out_a["top1"] == out_b["top1"]
+    assert out_a["history_top1"] == out_b["history_top1"]
