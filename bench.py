@@ -160,8 +160,9 @@ def main():
                         **bert_kw))
     model = BiEncoder(cfg)
 
-    seq, chunk = 128, 1024 * n_chips  # 1024/chip measured best in r1
-    n_sample = 16 * chunk
+    seq = 128
+    chunk = int(os.environ.get("SIMXNS_BENCH_CHUNK", 1024 * n_chips))
+    n_sample = int(os.environ.get("SIMXNS_BENCH_SAMPLE_CHUNKS", "16")) * chunk
     rng = np.random.default_rng(0)
     ids = rng.integers(5, 30000, size=(n_sample, seq)).astype(np.int32)
     mask = np.ones_like(ids)
@@ -169,15 +170,36 @@ def main():
     params = model.init(jax.random.PRNGKey(0), ids[:2, :32], mask[:2, :32],
                         ids[:2], mask[:2])
 
-    enc = CorpusEncoder(
-        lambda p, i, m: model.apply(p, i, m, method="encode_passage"),
-        mesh, chunk_size=chunk)
-    enc(params, ids[:chunk], mask[:chunk])          # compile
-    enc(params, ids, mask)          # full-size warm pass (session ramp /
+    encode_fn = lambda p, i, m: model.apply(p, i, m, method="encode_passage")
+    # Default path: MIPSIndex.build_streaming — what the mine phase actually
+    # runs since round 4 (encode -> int8 quantize -> scatter fused on
+    # device, uint16 ids on the wire, embeddings never visit the host).
+    # SIMXNS_BENCH_ENCODE_PATH=host measures the older CorpusEncoder
+    # round-trip (ids up, f32 embeddings down) for A/B.
+    enc_path = os.environ.get("SIMXNS_BENCH_ENCODE_PATH", "stream")
+    if enc_path == "stream":
+        ids[:, 0] = 101                             # CLS: no all-pad rows
+        enc_index = MIPSIndex(mesh, block_size=8192, store_dtype=jnp.int8)
+
+        def encode_pass():
+            enc_index.build_streaming(encode_fn, params, ids,
+                                      chunk_size=chunk,
+                                      wire_dtype=np.uint16)
+            # force completion: the scatter chain is async (CLAUDE.md —
+            # block_until_ready can return at dispatch on this relay)
+            np.asarray(enc_index.embeddings[-1, :1])
+    else:
+        enc = CorpusEncoder(encode_fn, mesh, chunk_size=chunk)
+
+        def encode_pass():
+            enc(params, ids, mask)                  # np round-trip = forced
+
+    encode_pass()                   # compile
+    encode_pass()                   # full-size warm pass (session ramp /
     encode_times = []               # pipeline fill stay out of rep 1)
     for _ in range(REPS):
         t0 = time.time()
-        emb = enc(params, ids, mask)                # np round-trip = forced
+        encode_pass()
         encode_times.append(time.time() - t0)
     encode_s = float(np.median(encode_times))
     encode_ps = n_sample / encode_s
@@ -246,8 +268,8 @@ def main():
         "metric": "mine_phase_passages_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": ("passages/s/chip (8.8M-corpus mine: BERT-base bf16 seq128 "
-                 "%s encode + top-100 search over %d-row bf16 index; "
-                 "median of %d reps)" % (enc_impl, n_rows, REPS)),
+                 "%s encode via %s + top-100 search over %d-row bf16 index; "
+                 "median of %d reps)" % (enc_impl, enc_path, n_rows, REPS)),
         "vs_baseline": round(per_chip / A100_REF_PASSAGES_PER_SEC_PER_GPU, 2),
         "encode_ps_per_chip": round(encode_ps / n_chips, 1),
         "encode_ps_spread": [round(n_sample / t / n_chips, 1)

@@ -219,8 +219,14 @@ class MIPSIndex:
                 encode_fn, pad_id, multi, emb_s, scale_s)
         fn = self._search_cache[key]
 
+        wire_max = (np.iinfo(wire_dtype).max
+                    if np.dtype(wire_dtype) != token_ids.dtype else None)
         for s in range(0, n, chunk_size):
             ids = token_ids[s: s + chunk_size]
+            if wire_max is not None and ids.max(initial=0) > wire_max:
+                raise ValueError(
+                    f"token id {ids.max()} overflows wire dtype "
+                    f"{np.dtype(wire_dtype).name} (rows {s}:{s + len(ids)})")
             if ids.shape[0] < chunk_size:
                 ids = np.pad(ids, ((0, chunk_size - ids.shape[0]), (0, 0)))
             buf, scales = fn(params, buf, scales,

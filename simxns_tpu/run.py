@@ -195,6 +195,26 @@ def _setup_platform(args) -> None:
             "a jax array). Pass --tpu to run on real chips deliberately.")
 
 
+def _build_index(index, encode_fn, params, token_ids, mask, mesh, vocab_size,
+                 args) -> None:
+    """Build a MIPS index from token ids: device-resident streaming path
+    (encode->quantize->scatter, uint16 ids on the wire) unless
+    ``--stream-build off``. All call sites derive ``mask`` as
+    ``token_ids != 0`` — the contract the streaming path re-derives on
+    device — so the two paths are interchangeable (A/B-tested in
+    tests/test_run.py)."""
+    from simxns_tpu.index import CorpusEncoder
+
+    chunk = min(1024, max(64, len(token_ids) // 4))
+    if args.stream_build != "off":
+        index.build_streaming(
+            encode_fn, params, token_ids, chunk_size=chunk,
+            wire_dtype=np.uint16 if vocab_size <= 0xFFFF else np.int32)
+    else:
+        enc = CorpusEncoder(encode_fn, mesh, chunk_size=chunk)
+        index.build(enc(params, token_ids, mask))
+
+
 def _bert_cfg(recipe_bert, tiny: bool, vocab: int):
     from simxns_tpu.models import BertConfig
 
@@ -1342,14 +1362,12 @@ def run_lead(name: str, cfg, args) -> dict:
     index = MIPSIndex(mesh, block_size=min(
         8192, max(32, len(data.corpus_ids) // 4)))
     engine = RetrievalEngine(index, data.passages, logger=logger)
-    p_enc = CorpusEncoder(
-        lambda p, i, msk: db.apply(p, i, msk, method="encode_passage"),
-        mesh, chunk_size=min(1024, max(64, len(data.corpus_ids) // 4)))
+    db_enc_fn = lambda p, i, msk: db.apply(p, i, msk, method="encode_passage")
     q_enc = CorpusEncoder(
         lambda p, i, msk: db.apply(p, i, msk, method="encode_query"),
         mesh, chunk_size=min(1024, max(64, nq)))
-    index.build(p_enc(states["db"].params, data.corpus_ids,
-                      data.corpus_mask))
+    _build_index(index, db_enc_fn, states["db"].params, data.corpus_ids,
+                 data.corpus_mask, mesh, data.vocab_size, args)
     res = engine.mine(q_enc(states["db"].params, data.query_ids,
                             data.query_mask),
                       data.questions, data.answers,
@@ -1560,14 +1578,13 @@ def run_capstone(name: str, cfg, args) -> dict:
     index = MIPSIndex(mesh, block_size=min(
         8192, max(32, len(data.corpus_ids) // 4)))
     engine = RetrievalEngine(index, data.passages, logger=logger)
-    p_enc = CorpusEncoder(
-        lambda p, i, msk: model.apply(p, i, msk, method="encode_passage"),
-        mesh, chunk_size=min(1024, max(64, len(data.corpus_ids) // 4)))
+    enc_fn = lambda p, i, msk: model.apply(p, i, msk, method="encode_passage")
     q_enc = CorpusEncoder(
         lambda p, i, msk: model.apply(p, i, msk, method="encode_query"),
         mesh, chunk_size=min(1024, max(64, nq)))
-    index.build(p_enc(state.params, exp_corpus,
-                      (exp_corpus != 0).astype(np.int32)))
+    _build_index(index, enc_fn, state.params, exp_corpus,
+                 (exp_corpus != 0).astype(np.int32), mesh,
+                 data.vocab_size, args)
     res = engine.mine(q_enc(state.params, data.query_ids, data.query_mask),
                       data.questions, data.answers,
                       k=min(args.topk or 10, len(data.corpus_ids)),
@@ -1651,10 +1668,11 @@ def run_allies(name: str, cfg, args) -> dict:
 
     index = MIPSIndex(mesh, block_size=min(
         8192, max(32, len(data.corpus_ids) // 4)))
-    p_enc = CorpusEncoder(
-        lambda p, i, msk: model.apply(p, i, msk, method="encode_passage"),
-        mesh, chunk_size=min(1024, max(64, len(data.corpus_ids) // 4)))
-    index.build(p_enc(state.params, data.corpus_ids, data.corpus_mask))
+    _build_index(index,
+                 lambda p, i, msk: model.apply(p, i, msk,
+                                               method="encode_passage"),
+                 state.params, data.corpus_ids, data.corpus_mask, mesh,
+                 data.vocab_size, args)
 
     q_encode = jax.jit(
         lambda p, i, msk: model.apply(p, i, msk, method="encode_query"))
