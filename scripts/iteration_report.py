@@ -33,8 +33,12 @@ RESULTS = "/root/repo/bench_r4_results.jsonl"
 
 # phases that shard across pod chips (device-bound, row- or batch-sharded)
 DEVICE_SHARDED = {"encode_corpus", "encode_queries", "search"}
-# host-bound phases: charged in full at any pod size
-HOST = {"dataset_build", "hit_labeling", "checkpoint"}
+# host-bound (or per-chip residual) phases: charged in full at any pod size.
+# train_drain is the window's backlog execution surfaced at the boundary
+# sync; offload_stash/restore and checkpoint are wire transfers (the Orbax
+# disk write itself runs on a background thread overlapped with the mine).
+HOST = {"dataset_build", "hit_labeling", "checkpoint",
+        "train_drain", "offload_stash", "offload_restore"}
 
 
 def main():

@@ -232,6 +232,12 @@ class MIPSIndex:
             buf, scales = fn(params, buf, scales,
                              jnp.asarray(s, jnp.int32),
                              jnp.asarray(ids.astype(wire_dtype, copy=False)))
+        # prove the chunk chain EXECUTED (relay dispatch returns early):
+        # one scalar fetch, so the caller's encode timer reads real work
+        # instead of draining into the next phase's bucket
+        from simxns_tpu.parallel.sync import force_sync
+
+        force_sync(buf, scales)
         self.embeddings = buf
         self.row_scales = scales if self.quantized else None
         if self._built_shape != (padded, h, n):

@@ -12,6 +12,7 @@ from simxns_tpu.parallel.mesh import (
     local_batch_size,
 )
 from simxns_tpu.parallel.tp import tp_param_shardings, shard_params
+from simxns_tpu.parallel.sync import force_sync
 from simxns_tpu.parallel.collectives import (
     all_gather_local_grad,
     all_gather_full_grad,
@@ -35,4 +36,5 @@ __all__ = [
     "gather_in_batch_negatives",
     "tp_param_shardings",
     "shard_params",
+    "force_sync",
 ]

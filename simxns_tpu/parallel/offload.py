@@ -60,6 +60,24 @@ class HostStash:
         self._host = host
         self._restored = False
 
+    def numpy_tree(self):
+        """The stashed tree with numpy leaves, WITHOUT re-uploading.
+
+        Window-boundary checkpointing uses this to write the Orbax artifact
+        straight from the host copy the offload already paid for — the
+        device state was pulled ONCE, and the disk write can run on a
+        background thread overlapped with the mine phase (see the AR2
+        runner's ``checkpoint`` closure). The returned tree shares the
+        stash's buffers; callers must treat it as read-only. Capture it
+        BEFORE :meth:`restore` (which drops the stash's references) — a
+        tree captured earlier stays valid afterwards, numpy refcounts keep
+        its leaves alive.
+        """
+        if self._host is None:
+            raise RuntimeError("numpy_tree() after restore(): capture the "
+                               "tree before handing the stash back")
+        return jax.tree.unflatten(self._treedef, self._host)
+
     @property
     def nbytes(self) -> int:
         """Host bytes held (== HBM bytes released), for logging."""

@@ -793,6 +793,7 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
             positive_ids=data.positive_rows)
 
     from simxns_tpu.parallel.offload import HostStash
+    from simxns_tpu.parallel.sync import force_sync
 
     def mine_offloaded(state, ce_s):
         """mine() with the reranker state stashed to host for the duration
@@ -800,9 +801,12 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
         ``AR2CoTrainer(offload_refresh=...)``)."""
         if not offload_mine:
             return mine(state), ce_s
-        stash = HostStash(ce_s)
+        with logger.timed("offload_stash"):
+            stash = HostStash(ce_s)
         r = mine(state)
-        return r, stash.restore()
+        with logger.timed("offload_restore"):
+            restored = stash.restore()
+        return r, restored
 
     def dataset_from(res, seed):
         with logger.timed("dataset_build"):
@@ -843,6 +847,9 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
                                        "joint_mask": b["joint_mask"]}, mesh)
                     ce_state, cm = warm_ce(ce_state, dev)
                     ce_warm_steps += 1
+            # relay dispatch is async: prove the warm steps EXECUTED so
+            # this timer (and not the first mine's) carries their cost
+            force_sync(de_state, ce_state)
         if warm_epochs:
             check_teacher_warmth(ce_warm_steps)
         res, ce_state = mine_offloaded(de_state, ce_state)
@@ -914,17 +921,43 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
         if len(first_ds) >= batch_size
         else (lambda: warm_ds.batches(batch_size=batch_size)))
 
+    import threading
+
+    pending_saves: list = []
+
+    def join_saves():
+        while pending_saves:
+            pending_saves.pop().join()
+
     def checkpoint(de_s, ce_s, gstep):
         # full-state window-boundary checkpoints: what the resume scan
         # restores (the reference writes checkpoint-<step> /
         # checkpoint-reranker<step> at each break-out,
-        # co_training_wiki_train.py:300-306,319-354)
-        if args.output_dir:
-            with logger.timed("checkpoint"):
-                save_checkpoint(args.output_dir, de_s, gstep,
+        # co_training_wiki_train.py:300-306,319-354).
+        #
+        # The wall cost here is ONE device->host pull of the retriever
+        # state: under offload the driver hands the reranker state over as
+        # the HostStash the mine needed anyway, and the Orbax writes run on
+        # a background thread overlapped with the minutes-long mine phase
+        # that follows this boundary (Orbax's tmp-dir + rename keeps a
+        # crash mid-write from ever surfacing as a resumable artifact).
+        if not args.output_dir:
+            return
+        with logger.timed("checkpoint"):
+            join_saves()   # one write in flight at a time
+            de_host = jax.device_get(de_s)
+            ce_host = (ce_s.numpy_tree() if isinstance(ce_s, HostStash)
+                       else jax.device_get(ce_s))
+
+            def write():
+                save_checkpoint(args.output_dir, de_host, gstep,
                                 name="retriever_state")
-                save_checkpoint(args.output_dir, ce_s, gstep,
+                save_checkpoint(args.output_dir, ce_host, gstep,
                                 name="reranker_state")
+
+            t = threading.Thread(target=write, name=f"ckpt-{gstep}")
+            t.start()
+            pending_saves.append(t)
 
     trainer = AR2CoTrainer(
         mesh,
@@ -960,6 +993,7 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
            "history_top1": history,
            "total_s": round(total_s, 1),
            "phase_times_s": phases}
+    join_saves()   # the last boundary's async write must land before exit
     if args.output_dir:
         save_checkpoint(args.output_dir,
                         {"params": trainer.de_state.params}, steps,

@@ -125,7 +125,12 @@ class AR2CoTrainer:
     refresh_fn:     called at each window boundary with the current
                     ``(de_state, global_step)``; returns a new ``batches``
                     callable built from freshly mined data (or None to keep)
-    checkpoint_fn:  optional ``(de_state, ce_state, global_step) -> None``
+    checkpoint_fn:  optional ``(de_state, ce_like, global_step) -> None``;
+                    ``ce_like`` is the live reranker TrainState — except
+                    when ``offload_refresh`` is on, where it is the
+                    :class:`~simxns_tpu.parallel.offload.HostStash` holding
+                    that state on host (call ``.numpy_tree()``), so the
+                    checkpoint reuses the offload's one device->host pull
     offload_refresh: stash the reranker state to host RAM for the duration
                     of each ``refresh_fn`` call (it is dead weight while the
                     corpus re-encodes and the index searches — at recipe
@@ -160,6 +165,7 @@ class AR2CoTrainer:
         self.offload_refresh = offload_refresh
         self.global_step = 0
         self.history: List[Dict] = []
+        self.batches_dirty = False  # set when a refresh swapped `batches`
 
     def _flag(self) -> int:
         """1 = train reranker, 0 = train retriever (reference flag values).
@@ -218,20 +224,58 @@ class AR2CoTrainer:
                         {"loss": rec["loss"]}, phase=which)
 
             if self.global_step % cfg.iteration_step == 0:
-                if self.checkpoint_fn is not None:
-                    self.checkpoint_fn(self.de_state, self.ce_state,
-                                       self.global_step)
-                if self.refresh_fn is not None:
-                    stash = None
-                    if self.offload_refresh:
-                        from simxns_tpu.parallel.offload import HostStash
-
-                        stash = HostStash(self.ce_state)
-                    new_batches = self.refresh_fn(self.de_state,
-                                                  self.global_step)
-                    if stash is not None:
-                        self.ce_state = stash.restore()
-                    if new_batches is not None:
-                        self.batches = new_batches
-                        it = iter(self.batches())
+                self._window_boundary()
+                if self.batches_dirty:
+                    it = iter(self.batches())
+                    self.batches_dirty = False
         return {"global_step": self.global_step, "history": self.history}
+
+    def _timed(self, phase: str):
+        if self.metric_logger is not None:
+            return self.metric_logger.timed(phase)
+        import contextlib
+
+        return contextlib.nullcontext()
+
+    def _window_boundary(self) -> None:
+        """Checkpoint + refresh at an ``iteration_step`` boundary.
+
+        Order matters on a relay-attached chip (round-4 measurement: the
+        naive checkpoint-then-offload sequence cost 548 s per boundary at
+        recipe scale, ~25% of the iteration):
+
+        1. ``train_drain``: force pending step execution so the next
+           timers charge their own work, not the window's backlog;
+        2. offload: ONE device->host pull of the reranker state frees its
+           HBM for the index AND doubles as the checkpoint's host copy —
+           ``checkpoint_fn`` receives the :class:`HostStash` itself when
+           ``offload_refresh`` is on (its ``numpy_tree()`` is the state),
+           so the state never crosses the wire twice;
+        3. checkpoint (the AR2 runner writes Orbax from host copies on a
+           background thread, overlapping the mine phase that follows);
+        4. refresh (mine + rebuild the dataset), then restore the stash.
+        """
+        if self.checkpoint_fn is None and self.refresh_fn is None:
+            return
+        with self._timed("train_drain"):
+            from simxns_tpu.parallel.sync import force_sync
+
+            force_sync(self.de_state, self.ce_state)
+        stash = None
+        if self.offload_refresh and self.refresh_fn is not None:
+            from simxns_tpu.parallel.offload import HostStash
+
+            with self._timed("offload_stash"):
+                stash = HostStash(self.ce_state)
+        if self.checkpoint_fn is not None:
+            self.checkpoint_fn(self.de_state,
+                               stash if stash is not None else self.ce_state,
+                               self.global_step)
+        if self.refresh_fn is not None:
+            new_batches = self.refresh_fn(self.de_state, self.global_step)
+            if stash is not None:
+                with self._timed("offload_restore"):
+                    self.ce_state = stash.restore()
+            if new_batches is not None:
+                self.batches = new_batches
+                self.batches_dirty = True

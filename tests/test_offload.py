@@ -38,6 +38,43 @@ def test_hoststash_restore_twice_raises():
         stash.restore()
 
 
+def test_hoststash_numpy_tree_is_host_view():
+    """numpy_tree(): the checkpoint's host copy without a second pull.
+
+    The AR2 boundary writes Orbax from this tree while the mine runs
+    (run.py checkpoint closure); it must match the stashed values, stay
+    valid after restore() if captured before, and refuse capture after."""
+    tree = {"w": jnp.arange(12.0).reshape(3, 4), "step": 5}
+    stash = HostStash(tree)
+    host = stash.numpy_tree()
+    assert isinstance(host["w"], np.ndarray)
+    np.testing.assert_array_equal(host["w"],
+                                  np.arange(12.0).reshape(3, 4))
+    assert host["step"] == 5
+    back = stash.restore()
+    # captured-before tree survives the restore (refcounted buffers)
+    np.testing.assert_array_equal(host["w"], np.asarray(back["w"]))
+    with pytest.raises(RuntimeError):
+        stash.numpy_tree()
+
+
+def test_force_sync_mixed_tree_and_sharded_leaves():
+    """force_sync: completes on pytrees with sharded, scalar, and
+    non-array leaves, and leaves values untouched (it only probes)."""
+    from simxns_tpu.parallel import force_sync
+
+    mesh = create_mesh()
+    sharded = jax.device_put(
+        jnp.arange(64.0).reshape(8, 8), NamedSharding(mesh, P("data", None)))
+    tree = {"w": sharded, "scalar": jnp.float32(3.0), "i8": jnp.zeros((4,),
+            jnp.int8), "np": np.ones(2), "none": None, "py": 7}
+    force_sync(tree)
+    force_sync()            # no arrays at all: a no-op
+    force_sync(None, {"a": 1})
+    np.testing.assert_array_equal(np.asarray(sharded),
+                                  np.arange(64.0).reshape(8, 8))
+
+
 def test_hoststash_train_state_through_a_step():
     """Stash/restore a real TrainState mid-run: the restored state must
     drive further (donating) steps exactly as the original would."""

@@ -399,6 +399,81 @@ def test_ar2_checkpoint_resume(tmp_path):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_ar2_boundary_offload_checkpoint_fusion(tmp_path):
+    """Under offload_refresh, the boundary hands checkpoint_fn the
+    HostStash itself (one device->host pull serves both the HBM offload
+    and the checkpoint); an Orbax artifact written from its numpy_tree()
+    on a background thread must restore into a state the trainer then
+    continues from bit-identically (run.py's async checkpoint closure)."""
+    import threading
+
+    from simxns_tpu.parallel.offload import HostStash
+
+    mesh = create_mesh()
+    rng = np.random.default_rng(13)
+    de = BiEncoder(BiEncoderConfig(bert=CFG))
+    ce = CrossEncoder(CrossEncoderConfig(bert=CFG))
+    batch = _de_batch(rng, n=8, m=2)
+    n, m, lj = batch["joint_ids"].shape
+    de_params = de.init(jax.random.PRNGKey(0), batch["q_ids"][:2],
+                        batch["q_mask"][:2], batch["ctx_ids"][:2],
+                        batch["ctx_mask"][:2])
+    ce_params = ce.init(jax.random.PRNGKey(1),
+                        batch["joint_ids"].reshape(n * m, lj)[:2],
+                        batch["joint_mask"].reshape(n * m, lj)[:2])
+    tx = make_adamw(1e-3, total_steps=0)
+
+    seen = {}
+    writers = []
+
+    def checkpoint_fn(de_state, ce_like, step):
+        # the driver must pass the stash, not the (now-deleted) state
+        assert isinstance(ce_like, HostStash)
+        seen["step"] = step
+        host = ce_like.numpy_tree()
+        t = threading.Thread(target=save_checkpoint,
+                             args=(str(tmp_path), host, step, "ce"))
+        t.start()
+        writers.append(t)
+
+    def refresh_fn(de_state, step):
+        return None   # keep the batch source; the stash round-trip is real
+
+    def batches():
+        while True:
+            yield batch
+
+    tr = AR2CoTrainer(
+        mesh, AR2Config(iteration_step=6, iteration_reranker_step=2,
+                        max_steps=100, log_every=1000),
+        TrainState.create(de_params, tx),
+        TrainState.create(ce_params, tx),
+        make_ar2_retriever_step(de, ce, tx, mesh, adv_lambda=0.0),
+        make_reranker_step(ce, tx, mesh, group_size=m),
+        batches, refresh_fn=refresh_fn, checkpoint_fn=checkpoint_fn,
+        offload_refresh=True)
+    tr.run(num_steps=8)   # crosses the boundary at step 6
+    assert seen["step"] == 6
+    for t in writers:
+        t.join()
+    # the async artifact equals the trainer's reranker state AS OF step 6:
+    # replay 2 more post-boundary steps from the restored state and compare
+    zero = TrainState.create(jax.tree.map(jnp.zeros_like, ce_params), tx)
+    restored = restore_checkpoint(str(tmp_path), zero, 6, "ce")
+    cstep = make_reranker_step(ce, tx, mesh, group_size=m)
+    dev = shard_batch({k: v for k, v in batch.items() if k != "answers"},
+                      mesh)
+    # steps 7-8 run under flag==1 (r = 0, 1 <= reranker window 2): replay
+    # exactly the two reranker steps the trainer took after the checkpoint
+    replay = restored
+    replay, _ = cstep(replay, dev)
+    replay, _ = cstep(replay, dev)
+    for x, y in zip(jax.tree.leaves(replay.params),
+                    jax.tree.leaves(tr.ce_state.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_recall_guard_and_teacher_warmth():
     """VERDICT r2 weak #5: collapse must be loud, not silent."""
     import logging
