@@ -221,7 +221,19 @@ class MIPSIndex:
 
         wire_max = (np.iinfo(wire_dtype).max
                     if np.dtype(wire_dtype) != token_ids.dtype else None)
+        # stall diagnosis: a wedged relay session (observed round 4: 0 CPU,
+        # one idle socket, forever) surfaces as this heartbeat freezing at a
+        # specific row instead of a silent multi-hour hang
+        import sys
+        import time as _time
+
+        beat = _time.monotonic()
         for s in range(0, n, chunk_size):
+            now = _time.monotonic()
+            if now - beat >= 60.0:
+                print(f"[build_streaming] {s}/{n} rows dispatched",
+                      file=sys.stderr, flush=True)
+                beat = now
             ids = token_ids[s: s + chunk_size]
             if wire_max is not None and ids.max(initial=0) > wire_max:
                 raise ValueError(
