@@ -32,6 +32,8 @@ from simxns_tpu.evals.metrics import get_metrics, top_k_hits_accuracy
 from simxns_tpu.evals.qa_match import has_answer
 from simxns_tpu.ops.topk import blocked_mips_topk, merge_topk
 from simxns_tpu.parallel.mesh import DATA_AXIS, pad_to_multiple
+from simxns_tpu.parallel.sync import force_sync
+from simxns_tpu.parallel.watchdog import run_with_deadline
 
 
 class CorpusEncoder:
@@ -110,13 +112,25 @@ class MIPSIndex:
 
     def __init__(self, mesh: Mesh, block_size: int = 4096,
                  store_dtype=jnp.bfloat16, mode: str = "exact",
-                 recall_target: float = 0.95):
+                 recall_target: float = 0.95,
+                 stall_timeout_s: Optional[float] = None,
+                 stall_retries: int = 2, sync_rows: int = 262144):
         self.mesh = mesh
         self.block_size = block_size
         self.store_dtype = store_dtype
         self.quantized = store_dtype == jnp.int8
         self.mode = mode                      # "exact" | "approx" | "fused"
         self.recall_target = recall_target
+        # stall watchdog (parallel/watchdog.py): every sync/result-pull in
+        # build_streaming and search is bounded by this deadline, re-issued
+        # `stall_retries` times on a stall, then raises StallError instead
+        # of wedging for hours (the round-4 failure mode). None = disabled
+        # (tests / trusted local backends). `sync_rows` sets how many
+        # dispatched rows each streaming-build sync covers — the deadline
+        # must comfortably exceed that much encode work plus one compile.
+        self.stall_timeout_s = stall_timeout_s
+        self.stall_retries = stall_retries
+        self.sync_rows = sync_rows
         self.embeddings: Optional[jax.Array] = None
         self.row_scales: Optional[jax.Array] = None
         self.num_rows = 0
@@ -221,13 +235,25 @@ class MIPSIndex:
 
         wire_max = (np.iinfo(wire_dtype).max
                     if np.dtype(wire_dtype) != token_ids.dtype else None)
-        # stall diagnosis: a wedged relay session (observed round 4: 0 CPU,
-        # one idle socket, forever) surfaces as this heartbeat freezing at a
-        # specific row instead of a silent multi-hour hang
+        # stall watchdog: a wedged relay session (observed round 4: 0 CPU,
+        # one idle socket, 58 min before a manual kill) surfaces here as a
+        # bounded sync deadline instead of a silent multi-hour hang. Every
+        # `sync_rows` dispatched rows, one force_sync probe proves the
+        # chain EXECUTED; the probe is re-issued on a stall and StallError
+        # raised when the session is presumed wedged (the AR2 runner then
+        # aborts and rebuilds the whole phase — watchdog.retry_on_stall).
         import sys
         import time as _time
 
+        def bounded_sync(upto: int):
+            run_with_deadline(
+                lambda: force_sync(buf, scales),
+                self.stall_timeout_s,
+                desc=f"build_streaming sync rows {upto}/{n}",
+                retries=self.stall_retries)
+
         beat = _time.monotonic()
+        synced = 0
         for s in range(0, n, chunk_size):
             now = _time.monotonic()
             if now - beat >= 60.0:
@@ -244,12 +270,14 @@ class MIPSIndex:
             buf, scales = fn(params, buf, scales,
                              jnp.asarray(s, jnp.int32),
                              jnp.asarray(ids.astype(wire_dtype, copy=False)))
+            if (self.stall_timeout_s is not None
+                    and s + chunk_size - synced >= self.sync_rows):
+                bounded_sync(min(s + chunk_size, n))
+                synced = s + chunk_size
         # prove the chunk chain EXECUTED (relay dispatch returns early):
         # one scalar fetch, so the caller's encode timer reads real work
         # instead of draining into the next phase's bucket
-        from simxns_tpu.parallel.sync import force_sync
-
-        force_sync(buf, scales)
+        bounded_sync(n)
         self.embeddings = buf
         self.row_scales = scales if self.quantized else None
         if self._built_shape != (padded, h, n):
@@ -431,8 +459,19 @@ class MIPSIndex:
             sc, ids = fn(jnp.asarray(chunk, dtype=q_dtype),
                          self.embeddings, scales)
             pending.append((valid, sc, ids))
-        all_s = [np.asarray(sc[:v], np.float32) for v, sc, _ in pending]
-        all_i = [np.asarray(ids[:v]) for v, _, ids in pending]
+        # result pulls are idempotent reads — bounded by the stall watchdog
+        # so a wedged session raises StallError instead of hanging the
+        # whole eval (round-4 failure mode; callers may retry the search)
+        def pull(arr, dtype=None):
+            return run_with_deadline(
+                lambda: np.asarray(arr) if dtype is None
+                else np.asarray(arr, dtype),
+                self.stall_timeout_s,
+                desc=f"search result pull ({nq} queries, k={k})",
+                retries=self.stall_retries)
+
+        all_s = [pull(sc[:v], np.float32) for v, sc, _ in pending]
+        all_i = [pull(ids[:v]) for v, _, ids in pending]
         return np.concatenate(all_s), np.concatenate(all_i)
 
 

@@ -326,10 +326,13 @@ def generate(model: T5, params, enc_ids, enc_mask, rng_key, *,
                                      enc_mask_r, method="decode")
                 step_logits = jax.lax.dynamic_slice_in_dim(
                     logits, t, 1, axis=1)[:, 0]
+                # HF warper order: temperature BEFORE top-k (for T != 1
+                # the kept set differs otherwise; no-op at the doc2query
+                # default T=1.0)
+                step_logits = step_logits / temperature
                 kth = jax.lax.top_k(step_logits, top_k)[0][:, -1:]
                 filtered = jnp.where(step_logits >= kth, step_logits, NEG)
-                nxt = jax.random.categorical(sub, filtered / temperature,
-                                             axis=-1)
+                nxt = jax.random.categorical(sub, filtered, axis=-1)
                 nxt = jnp.where(done, cfg.pad_id, nxt.astype(jnp.int32))
                 tokens = jax.lax.dynamic_update_slice_in_dim(
                     tokens, nxt[:, None], t + 1, axis=1)

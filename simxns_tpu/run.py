@@ -106,8 +106,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "16.7M rows/v5e chip)")
     ap.add_argument("--index-mode", choices=["exact", "approx", "fused"],
                     default=None,
-                    help="MIPS search mode (default: fused Pallas kernel "
-                         "on TPU, exact scan on the CPU mesh)")
+                    help="MIPS search mode for every recipe's index "
+                         "(default: fused Pallas kernel on TPU, exact scan "
+                         "on the CPU mesh)")
+    ap.add_argument("--stall-timeout", type=float, default=None,
+                    help="stall-watchdog deadline in seconds for index "
+                         "build/search syncs: a sync that beats it is "
+                         "free, a stalled one is re-probed and the phase "
+                         "aborted-and-retried instead of wedging for "
+                         "hours (round-4 relay failure mode). Default: "
+                         "600 for --full-size runs, off otherwise; 0 "
+                         "disables")
     ap.add_argument("--fast-encode", action="store_true",
                     help="mine through the whole-layer fused int8 encode "
                          "kernel (TPU; params shared with the bf16 "
@@ -193,6 +202,22 @@ def _setup_platform(args) -> None:
             f"could not force the CPU mesh (backend already initialized as "
             f"{platform!r} before _setup_platform ran — an import touched "
             "a jax array). Pass --tpu to run on real chips deliberately.")
+
+
+def _index_kwargs(args) -> dict:
+    """Shared MIPSIndex knobs for every recipe's index — the --index-mode
+    flag applies to ALL runners (it used to be silently AR2-only), and the
+    stall watchdog defaults on for full-size runs (deadline 600 s; the
+    round-4 wedge burned 58 min before a manual kill)."""
+    timeout = args.stall_timeout
+    if timeout is None:
+        timeout = 600.0 if args.full_size else None
+    elif timeout <= 0:
+        timeout = None
+    return {
+        "mode": args.index_mode or ("fused" if args.tpu else "exact"),
+        "stall_timeout_s": timeout,
+    }
 
 
 def _build_index(index, encode_fn, params, token_ids, mask, mesh, vocab_size,
@@ -746,8 +771,7 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
              else jnp.bfloat16 if args.tpu else jnp.float32)
     index = MIPSIndex(
         mesh, block_size=min(8192, max(32, len(data.corpus_ids) // 4)),
-        store_dtype=store,
-        mode=args.index_mode or ("fused" if args.tpu else "exact"))
+        store_dtype=store, **_index_kwargs(args))
     engine = RetrievalEngine(index, data.passages, logger=logger)
     # --fast-encode: mine through a fused-int8-layer view of the SAME
     # params (the param trees interchange across layer_impl); training
@@ -776,21 +800,34 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     offload_mine = (args.offload_mine == "on"
                     or (args.offload_mine == "auto" and args.full_size))
 
+    from simxns_tpu.parallel.watchdog import retry_on_stall
+
     def mine(state):
-        with logger.timed("encode_corpus"):
-            if stream_build:
-                index.build_streaming(
-                    p_enc_fn, state.params, data.corpus_ids,
-                    chunk_size=corpus_chunk, wire_dtype=wire_dtype)
-            else:
-                index.build(
-                    p_enc(state.params, data.corpus_ids, data.corpus_mask))
+        # phase-level abort-and-retry: when the index's stall watchdog
+        # gives up on a wedged sync (StallError), the whole build/search
+        # is re-run from scratch — build_streaming re-allocates its buffer
+        # and search is a pure read, so both are safe to repeat. A stall
+        # that survives both attempts raises, bounding the round-4
+        # failure mode (58 min silent wedge) to ~2x the phase deadline.
+        def build():
+            with logger.timed("encode_corpus"):
+                if stream_build:
+                    index.build_streaming(
+                        p_enc_fn, state.params, data.corpus_ids,
+                        chunk_size=corpus_chunk, wire_dtype=wire_dtype)
+                else:
+                    index.build(p_enc(state.params, data.corpus_ids,
+                                      data.corpus_mask))
+
+        retry_on_stall(build, attempts=2, desc="index build",
+                       cleanup=index.free)
         with logger.timed("encode_queries"):
             q_emb = q_enc(state.params, data.query_ids, data.query_mask)
         # engine.mine times its own "search" / "hit_labeling" phases
-        return engine.mine(
-            q_emb, data.questions, data.answers, k=topk,
-            positive_ids=data.positive_rows)
+        return retry_on_stall(
+            lambda: engine.mine(q_emb, data.questions, data.answers, k=topk,
+                                positive_ids=data.positive_rows),
+            attempts=2, desc="mine search")
 
     from simxns_tpu.parallel.offload import HostStash
     from simxns_tpu.parallel.sync import force_sync
@@ -804,6 +841,14 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
         with logger.timed("offload_stash"):
             stash = HostStash(ce_s)
         r = mine(state)
+        # free the just-built index BEFORE pulling the reranker back: the
+        # mining result is host-side already, and restoring first would
+        # put peak HBM at index + DE + CE (~6 GB avoidable — would OOM at
+        # the 16.7M-row int8 capacity). The in-window boundary path
+        # already orders it this way (refresh_fn frees via dataset_from
+        # before the driver restores); this aligns the warmup/resume/
+        # final-eval sites. dataset_from's own free() is then a no-op.
+        index.free()
         with logger.timed("offload_restore"):
             restored = stash.restore()
         return r, restored
@@ -841,7 +886,10 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
             # the reranker must be a competent teacher before co-training
             # (the reference loads checkpoint-reranker26000); warm it harder
             ce_warm_steps = 0
-            for _ in range(warm_epochs + 20 if tiny else warm_epochs):
+            # the +20 tiny bonus must not resurrect warm-up when the user
+            # asked for none (--warm-epochs 0 skips BOTH models)
+            for _ in range(warm_epochs + 20 if (tiny and warm_epochs)
+                           else warm_epochs):
                 for b in warm_ds.batches(batch_size=batch_size):
                     dev = shard_batch({"joint_ids": b["joint_ids"],
                                        "joint_mask": b["joint_mask"]}, mesh)
@@ -924,10 +972,20 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     import threading
 
     pending_saves: list = []
+    save_errors: list = []
 
     def join_saves():
+        # a silently failed background Orbax write would report a
+        # successful run whose --resume auto falls back to an older step —
+        # surface the first writer exception loudly instead
         while pending_saves:
             pending_saves.pop().join()
+        if save_errors:
+            err = save_errors[0]
+            print(f"[{name}] FATAL: background checkpoint write failed: "
+                  f"{err!r}", file=sys.stderr, flush=True)
+            raise RuntimeError(
+                "background checkpoint write failed") from err
 
     def checkpoint(de_s, ce_s, gstep):
         # full-state window-boundary checkpoints: what the resume scan
@@ -950,10 +1008,13 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
                        else jax.device_get(ce_s))
 
             def write():
-                save_checkpoint(args.output_dir, de_host, gstep,
-                                name="retriever_state")
-                save_checkpoint(args.output_dir, ce_host, gstep,
-                                name="reranker_state")
+                try:
+                    save_checkpoint(args.output_dir, de_host, gstep,
+                                    name="retriever_state")
+                    save_checkpoint(args.output_dir, ce_host, gstep,
+                                    name="reranker_state")
+                except BaseException as e:  # surfaced by join_saves()
+                    save_errors.append(e)
 
             t = threading.Thread(target=write, name=f"ckpt-{gstep}")
             t.start()
@@ -993,7 +1054,6 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
            "history_top1": history,
            "total_s": round(total_s, 1),
            "phase_times_s": phases}
-    join_saves()   # the last boundary's async write must land before exit
     if args.output_dir:
         save_checkpoint(args.output_dir,
                         {"params": trainer.de_state.params}, steps,
@@ -1003,6 +1063,10 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
                         name="reranker")
         with open(os.path.join(args.output_dir, "eval.json"), "w") as f:
             json.dump(out, f, indent=1)
+    # the last boundary's async write must land before exit — joined AFTER
+    # eval.json so a boundary-write failure (which raises here) cannot
+    # also lose the final artifacts
+    join_saves()
     print(f"[{name}] final: top1={out['top1']:.3f} mrr10={out['mrr10']:.3f}")
     return out
 
@@ -1394,7 +1458,7 @@ def run_lead(name: str, cfg, args) -> dict:
 
     # final: retrieval eval with the distilled student
     index = MIPSIndex(mesh, block_size=min(
-        8192, max(32, len(data.corpus_ids) // 4)))
+        8192, max(32, len(data.corpus_ids) // 4)), **_index_kwargs(args))
     engine = RetrievalEngine(index, data.passages, logger=logger)
     db_enc_fn = lambda p, i, msk: db.apply(p, i, msk, method="encode_passage")
     q_enc = CorpusEncoder(
@@ -1610,7 +1674,7 @@ def run_capstone(name: str, cfg, args) -> dict:
         enc = tok.encode(title, text_pair=body, max_length=lc)
         exp_corpus[i, : len(enc)] = enc
     index = MIPSIndex(mesh, block_size=min(
-        8192, max(32, len(data.corpus_ids) // 4)))
+        8192, max(32, len(data.corpus_ids) // 4)), **_index_kwargs(args))
     engine = RetrievalEngine(index, data.passages, logger=logger)
     enc_fn = lambda p, i, msk: model.apply(p, i, msk, method="encode_passage")
     q_enc = CorpusEncoder(
@@ -1701,7 +1765,7 @@ def run_allies(name: str, cfg, args) -> dict:
             state, _ = step(state, shard_batch(b, mesh))
 
     index = MIPSIndex(mesh, block_size=min(
-        8192, max(32, len(data.corpus_ids) // 4)))
+        8192, max(32, len(data.corpus_ids) // 4)), **_index_kwargs(args))
     _build_index(index,
                  lambda p, i, msk: model.apply(p, i, msk,
                                                method="encode_passage"),
