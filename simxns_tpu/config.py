@@ -12,7 +12,11 @@ published launcher settings so runs are reproducible from a name:
   tau=3)
 - ``master_ms_ft``    — ``MASTER/finetune/ft_MS_MASTER.sh:10-22`` (BM25-neg
   warmup, lr 5e-6, 31 negatives)
-- ``prod_kd_marco``   — ``PROD/README.md`` progressive pipeline defaults
+- ``prod_kd_marco``   — ``PROD/README.md:210-225`` 12CE->6DE distill stage
+  (lr 5e-5, KD_softmax CE 0.1 / KD 0.9, T 4.0, LwF 1.0, 15 negatives)
+- ``prod_kd_nq``      — same pipeline on NQ (DPR passages, seq 128/32)
+- ``prod_kd_marcodoc``— same pipeline on MARCO-Doc (url<sep>title<sep>body
+  docs, seq 256, joint 288)
 - ``master_pretrain`` — ``MASTER/pretrain`` defaults (enc mask 0.30,
   dec mask 0.50, 2-layer heads)
 - ``tq_ar2_simans``   — ``SimANS/train_TQ_AR2.sh:15-50`` (TriviaQA: lr 5e-6,
@@ -107,21 +111,31 @@ class AR2RecipeConfig:
 
 @dataclasses.dataclass(frozen=True)
 class KDRecipeConfig:
-    """PROD progressive distillation stage."""
+    """PROD progressive distillation stage.
+
+    Hyperparameters are the published 12CE->6DE distill command
+    (``PROD/README.md:210-225``): lr 5e-5, warmup 4000, 40k steps,
+    global batch 8x8, ``--number_neg 15 --open_LwF --KD_type KD_softmax
+    --CE_WEIGHT 0.1 --KD_WEIGHT 0.9 --TEMPERATURE 4.0 --LwF_WEIGHT 1.0
+    --teacher_type cross_encoder``. The three dataset launchers share one
+    flag surface (``run_progressive_distill_{marco,nq,marcodoc}.py`` —
+    README.md:62 swaps only the dataset name); recipes differ in data
+    shapes only.
+    """
     data: DataConfig = dataclasses.field(default_factory=lambda: DataConfig(
         simans_mode=None, num_negatives=15, max_joint_length=160))
     student: RetrieverConfig = dataclasses.field(
         default_factory=lambda: RetrieverConfig(
             bert=BertConfig(num_layers=6)))
     optim: OptimConfig = dataclasses.field(
-        default_factory=lambda: OptimConfig(learning_rate=2e-5,
-                                            warmup_steps=2000))
+        default_factory=lambda: OptimConfig(learning_rate=5e-5,
+                                            warmup_steps=4000))
     teacher_type: str = "cross_encoder"
     kd_type: str = "KD_softmax"
-    temperature: float = 1.0
-    ce_weight: float = 0.0
-    kd_weight: float = 1.0
-    lwf_weight: float = 0.0
+    temperature: float = 4.0
+    ce_weight: float = 0.1
+    kd_weight: float = 0.9
+    lwf_weight: float = 1.0
     dkd_alpha: float = 1.0
     dkd_beta: float = 1.0
     global_batch: int = 64
@@ -232,6 +246,22 @@ RECIPES = {
                                     total_steps=30_000),
         max_steps=30_000),
     "prod_kd_marco": KDRecipeConfig(),
+    # NQ progressive distillation (run_progressive_distill_nq.py): same
+    # published pipeline (README.md:62 — "just modify the data set name"),
+    # DPR-style passages at seq 128 (:874), question budget 32
+    "prod_kd_nq": KDRecipeConfig(
+        data=DataConfig(simans_mode=None, num_negatives=15,
+                        max_q_length=32, max_ctx_length=128,
+                        max_joint_length=160)),
+    # MARCO-Document progressive distillation
+    # (run_progressive_distill_marcodoc.py): documents are
+    # url<sep>title<sep>body (utils/marco_until.py:209-212) at seq 256
+    # (inference_DE_marcodoc.py:650), query budget 32 (marco_until.py:72);
+    # the CE joint window widens to hold the doc + query
+    "prod_kd_marcodoc": KDRecipeConfig(
+        data=DataConfig(simans_mode=None, num_negatives=15,
+                        max_q_length=32, max_ctx_length=256,
+                        max_joint_length=288)),
     "master_pretrain": MasterPretrainConfig(),
     # TriviaQA co-training (train_TQ_AR2.sh:15-50): NQ structure with
     # lr 5e-6, 10k steps, warmup 1000, SimANS b=0

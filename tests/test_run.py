@@ -54,6 +54,25 @@ def test_kd_recipe_trains_student(tmp_path):
     assert any(n.startswith("student-") for n in os.listdir(tmp_path))
 
 
+@pytest.mark.parametrize("recipe", ["prod_kd_nq", "prod_kd_marcodoc"])
+def test_kd_recipe_matrix(tmp_path, recipe):
+    """The PROD launcher matrix (run_progressive_distill_{nq,marcodoc}.py)
+    is runnable --synthetic; marcodoc's wider doc/joint shapes flow
+    through the collation (ctx 256 -> joint capped by query+ctx+1)."""
+    from simxns_tpu.config import RECIPES
+
+    out = run_mod.main([
+        "--recipe", recipe, "--synthetic", "--steps", "8",
+        "--batch", "8", "--corpus-size", "48", "--num-queries", "16",
+        "--output-dir", str(tmp_path)])
+    assert out["steps"] == 8
+    assert np.isfinite(out["final_loss"])
+    assert any(n.startswith("student-") for n in os.listdir(tmp_path))
+    cfg = RECIPES[recipe]
+    assert (cfg.data.max_ctx_length, cfg.data.max_joint_length) == (
+        (128, 160) if recipe == "prod_kd_nq" else (256, 288))
+
+
 def test_pretrain_recipe_exports_encoder(tmp_path):
     out = run_mod.main([
         "--recipe", "master_pretrain", "--synthetic", "--steps", "4",
