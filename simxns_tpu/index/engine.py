@@ -114,7 +114,8 @@ class MIPSIndex:
                  store_dtype=jnp.bfloat16, mode: str = "exact",
                  recall_target: float = 0.95,
                  stall_timeout_s: Optional[float] = None,
-                 stall_retries: int = 2, sync_rows: int = 262144):
+                 stall_retries: int = 2, sync_rows: int = 262144,
+                 max_resident_rows: Optional[int] = None):
         self.mesh = mesh
         self.block_size = block_size
         self.store_dtype = store_dtype
@@ -131,11 +132,21 @@ class MIPSIndex:
         self.stall_timeout_s = stall_timeout_s
         self.stall_retries = stall_retries
         self.sync_rows = sync_rows
+        # max_resident_rows: HBM capacity per pass. A streaming-built
+        # corpus LARGER than this is searched in device-capacity passes
+        # (build slice -> search -> free, top-k merged on host) instead of
+        # ever being fully resident — the 21M-row wiki working point
+        # (co_training_generate_new_train_wiki.py:307-348 shards it over
+        # 8 GPUs) runs on ONE chip this way. Re-encoding each pass costs
+        # one extra corpus encode per extra pass but NEVER round-trips
+        # GB-scale codes over the wire (~6 min per 8 GB at the relay's
+        # ~23 MB/s — measured round 4 to dominate any swap design).
+        self.max_resident_rows = max_resident_rows
         self.embeddings: Optional[jax.Array] = None
         self.row_scales: Optional[jax.Array] = None
         self.num_rows = 0
-        self._search_cache: Dict[Tuple[int, int], Callable] = {}
-        self._built_shape: Optional[Tuple[int, int]] = None
+        self._search_cache: Dict[Tuple, Callable] = {}
+        self._pass_src: Optional[dict] = None
 
     @property
     def n_shards(self) -> int:
@@ -167,13 +178,7 @@ class MIPSIndex:
             arr = jnp.asarray(embeddings, dtype=self.store_dtype)
             self.embeddings = jax.device_put(
                 arr, NamedSharding(self.mesh, P(DATA_AXIS, None)))
-        # cached search/update executables bake the padded shape AND the
-        # live-row count (_make_search_fn closes over num_rows for the
-        # padding mask); an AR2 run rebuilds an identically-shaped index at
-        # every refresh and must not re-pay its search compiles each window
-        if self._built_shape != (padded, h, n):
-            self._search_cache.clear()
-            self._built_shape = (padded, h, n)
+        self._pass_src = None
 
     def build_streaming(self, encode_fn: Callable, params, token_ids: np.ndarray,
                         chunk_size: int = 1024, pad_id: int = 0,
@@ -200,10 +205,25 @@ class MIPSIndex:
         :meth:`build`, which allocates it after). Callers must clear dead
         weight first — see ``parallel/offload.HostStash`` and the AR2
         runner's mine phase.
+
+        When the corpus exceeds ``max_resident_rows``, nothing is built
+        here: the token source is recorded and :meth:`search` runs the
+        build->search->free loop per device-capacity pass (the single-chip
+        21M-row path; see ``__init__``).
         """
         import math
 
         n, seq_len = token_ids.shape
+        if (self.max_resident_rows is not None
+                and n > self.max_resident_rows):
+            self._pass_src = dict(
+                encode_fn=encode_fn, params=params, token_ids=token_ids,
+                chunk_size=chunk_size, pad_id=pad_id, wire_dtype=wire_dtype)
+            self.num_rows = n
+            self.embeddings = None
+            self.row_scales = None
+            return
+        self._pass_src = None
         self.num_rows = n
         if wire_dtype is None:
             wire_dtype = token_ids.dtype
@@ -280,12 +300,6 @@ class MIPSIndex:
         bounded_sync(n)
         self.embeddings = buf
         self.row_scales = scales if self.quantized else None
-        if self._built_shape != (padded, h, n):
-            # keep the "stream" entry: it does not bake the row count
-            stale = [k for k in self._search_cache if k[0] != "stream"]
-            for k in stale:
-                del self._search_cache[k]
-            self._built_shape = (padded, h, n)
 
     def _make_stream_fn(self, encode_fn: Callable, pad_id: int, multi: bool,
                         emb_s, scale_s) -> Callable:
@@ -340,6 +354,11 @@ class MIPSIndex:
         offsets does not recompile; only a new chunk SHAPE does.
         """
         n = embeddings.shape[0]
+        if self._pass_src is not None:
+            raise RuntimeError(
+                "update_rows is not available on a multi-pass index "
+                "(rows are re-encoded from tokens each search pass; "
+                "update the token source instead)")
         if start < 0 or start + n > self.num_rows:
             raise ValueError(
                 f"update_rows([{start}:{start + n}]) outside the live row "
@@ -436,12 +455,18 @@ class MIPSIndex:
     def search(self, queries: np.ndarray, k: int,
                query_batch: int = 1024) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k over the full corpus: [Q, H] -> (scores [Q,k], ids [Q,k])."""
+        if self._pass_src is not None:
+            return self._search_passes(queries, k, query_batch)
         if self.embeddings is None:
             raise RuntimeError("index not built")
         q = np.asarray(queries)
         nq = q.shape[0]
         qb = min(query_batch, pad_to_multiple(nq, 8))
-        key = (k, qb)
+        # the compiled fn bakes the padded buffer shape and the live-row
+        # mask (closures in _make_search_fn) — key on both so identically
+        # shaped refresh rebuilds reuse it while multi-pass searches with
+        # alternating live counts each keep their own entry
+        key = (k, qb, self.embeddings.shape[0], self.num_rows)
         if key not in self._search_cache:
             self._search_cache[key] = self._make_search(k, qb)
         fn = self._search_cache[key]
@@ -473,6 +498,51 @@ class MIPSIndex:
         all_s = [pull(sc[:v], np.float32) for v, sc, _ in pending]
         all_i = [pull(ids[:v]) for v, _, ids in pending]
         return np.concatenate(all_s), np.concatenate(all_i)
+
+    def _search_passes(self, queries: np.ndarray, k: int,
+                       query_batch: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Search a corpus larger than device HBM in resident passes.
+
+        Per pass: streaming-build the slice on device (re-encode; token ids
+        are the only wire traffic), search ALL queries against it, free the
+        buffer, and merge the per-pass top-k on host. Exact by construction
+        (each pass's top-k is exact over its rows; the union of per-pass
+        top-k lists contains the global top-k). This is the reference's
+        8-GPU FAISS shard-and-merge (``co_training_generate_new_train_wiki
+        .py:307-332``) folded onto one chip in time instead of space; the
+        int8 store at ~10.5M rows/pass covers the 21M-row wiki corpus in 2.
+        """
+        src = self._pass_src
+        n = src["token_ids"].shape[0]
+        # pass size: the largest chunk multiple under the resident cap
+        # (build_streaming re-pads per pass; equal passes share executables)
+        per = max(self.max_resident_rows
+                  - self.max_resident_rows % src["chunk_size"],
+                  src["chunk_size"])
+        all_scores, all_ids = [], []
+        try:
+            for start in range(0, n, per):
+                stop = min(start + per, n)
+                self._pass_src = None     # resident build path
+                self.build_streaming(
+                    src["encode_fn"], src["params"],
+                    src["token_ids"][start:stop],
+                    chunk_size=src["chunk_size"], pad_id=src["pad_id"],
+                    wire_dtype=src["wire_dtype"])
+                sc, ids = self.search(queries, k, query_batch=query_batch)
+                self.free()
+                all_scores.append(sc)
+                all_ids.append(ids.astype(np.int64) + start)
+        finally:
+            self._pass_src = src
+            self.num_rows = n
+            self.embeddings = None
+            self.row_scales = None
+        cat_s = np.concatenate(all_scores, axis=1)
+        cat_i = np.concatenate(all_ids, axis=1)
+        order = np.argsort(-cat_s, axis=1, kind="stable")[:, :k]
+        return (np.take_along_axis(cat_s, order, axis=1),
+                np.take_along_axis(cat_i, order, axis=1))
 
 
 def reform_out(

@@ -305,6 +305,66 @@ def test_build_streaming_matches_host_build():
         np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
 
 
+def test_multipass_search_matches_resident():
+    """``max_resident_rows`` folds the FAISS 8-GPU shard+merge
+    (co_training_generate_new_train_wiki.py:307-332) onto one chip in
+    time: build slice -> search -> free per pass, host top-k merge. The
+    merged result must equal a fully-resident index exactly, including a
+    ragged tail pass."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(18)
+    n, L, V, h = 147, 10, 60, 16
+    table = rng.standard_normal((V, h)).astype(np.float32)
+    ids = rng.integers(1, V, size=(n, L)).astype(np.int32)
+    q = rng.standard_normal((7, h)).astype(np.float32)
+    for dtype in (jnp.int8, jnp.bfloat16):
+        multi = MIPSIndex(mesh, block_size=8, store_dtype=dtype,
+                          max_resident_rows=64)
+        multi.build_streaming(_toy_encode, jnp.asarray(table), ids,
+                              chunk_size=16)
+        assert multi.embeddings is None          # nothing stays resident
+        assert multi.num_rows == n
+        oracle = MIPSIndex(mesh, block_size=8, store_dtype=dtype)
+        oracle.build_streaming(_toy_encode, jnp.asarray(table), ids,
+                               chunk_size=16)
+        s1, i1 = multi.search(q, 5)
+        s2, i2 = oracle.search(q, 5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+        assert multi.embeddings is None          # freed after the passes
+        assert multi.num_rows == n
+        # a second search reuses the per-pass executables (equal pass
+        # shapes) — and must still be correct after the free/rebuild cycle
+        _, i3 = multi.search(q, 5)
+        np.testing.assert_array_equal(i3, i2)
+        with pytest.raises(RuntimeError, match="multi-pass"):
+            multi.update_rows(0, np.zeros((2, h), np.float32))
+
+
+def test_multipass_engine_mine():
+    """RetrievalEngine.mine drives a multi-pass index unchanged (global
+    ids from the pass offsets feed positive_ids labeling correctly)."""
+    from simxns_tpu.index import RetrievalEngine
+
+    mesh = create_mesh()
+    rng = np.random.default_rng(19)
+    n, L, V, h = 96, 8, 50, 16
+    table = rng.standard_normal((V, h)).astype(np.float32)
+    ids = rng.integers(1, V, size=(n, L)).astype(np.int32)
+    index = MIPSIndex(mesh, block_size=8, store_dtype=jnp.int8,
+                      max_resident_rows=40)
+    index.build_streaming(_toy_encode, jnp.asarray(table), ids,
+                          chunk_size=8)
+    # queries = exact row embeddings -> top-1 must be the row itself
+    rows = [3, 41, 77, 90]                      # spread across 3 passes
+    q = _toy_encode_np(table, ids[rows])
+    engine = RetrievalEngine(index, {i: (f"p{i}", "") for i in range(n)})
+    res = engine.mine(q, [f"q{r}" for r in rows], [[] for _ in rows], k=4,
+                      positive_ids=[[r] for r in rows])
+    assert list(res.topk_ids[:, 0]) == rows
+    assert res.top_k_hits[0] == 1.0
+
+
 def test_build_streaming_rebuild_and_free():
     """A free() -> build_streaming() cycle (the AR2 refresh pattern) reuses
     the cached executable and produces a fresh, correct index."""
