@@ -1,0 +1,214 @@
+"""Round-5 measurement battery.
+
+Stages (each appends one JSON line to ``bench_r5_results.jsonl``):
+
+- ``wiki21m``  — the SimANS wiki working point on ONE chip: a
+  21,015,324-row corpus (the reference shards it over 8 GPUs,
+  ``SimANS/wiki/co_training_generate_new_train_wiki.py:307-348``) built
+  and searched through ``MIPSIndex(max_resident_rows=...)`` multi-pass
+  int8 (two ~10.5M-row resident passes, host top-k merge). Two
+  sub-stages sharing the 21M token corpus: (a) TIMING with the real
+  BERT-base fused-int8 encoder — end-to-end mine wall, effective qps
+  and passages/s; (b) RECALL with a well-spread embedding-table encoder
+  — recall@100 against an f32 candidate-set oracle (per-query top-100
+  union a shared random row sample, f32 device re-encode + host
+  matmul). Split because RANDOM-INIT BERT embeddings are collapsed
+  (LayerNorm pins every norm to sqrt(H); measured top1->top100 score
+  gap 0.05% of magnitude), which makes any recall number pure tie-noise
+  — even bf16-vs-f32 reads 0.60 there. With a trained encoder the
+  spread is healthy and sub-stage (a)'s ids would be checkable the same
+  way; nothing about the machinery differs (multi-pass == resident is
+  exact, tests/test_index.py::test_multipass_search_matches_resident).
+- ``ce_attack`` — the CE S=160 joint-shape step with the fused
+  flash-attention path at the joint shape vs the r4 baselines
+  (``bench_r4.py ce_shape``: fwd MFU 0.470 at S=160, step 487 ms remat).
+
+Run TPU stages one process at a time:
+
+    python scripts/bench_r5.py wiki21m
+    python scripts/bench_r5.py ce_attack
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+RESULTS = "/root/repo/bench_r5_results.jsonl"
+PEAK_BF16 = 197e12
+WIKI_ROWS = 21_015_324        # co_training_generate_new_train_wiki.py corpus
+
+
+def emit(rec):
+    rec = {"ts": round(time.time(), 1), **rec}
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def stage_wiki21m(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simxns_tpu.index import MIPSIndex
+    from simxns_tpu.models import BertConfig, BiEncoder, BiEncoderConfig
+    from bench import _calibrate_session, _encode_flops
+
+    mesh_rows = args.rows
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu:
+        mesh_rows = min(mesh_rows, 40_960)
+
+    from simxns_tpu.parallel import create_mesh
+
+    mesh = create_mesh()
+    cal = _calibrate_session(jax, jnp, on_tpu)
+
+    if on_tpu:
+        bert = BertConfig(num_layers=12, hidden_size=768, num_heads=12,
+                          intermediate_size=3072, dtype=jnp.bfloat16,
+                          layer_impl="fused_int8")
+        h = 768
+    else:                      # CPU smoke: plumbing only (one host core)
+        bert = BertConfig(num_layers=2, hidden_size=128, num_heads=2,
+                          intermediate_size=256, dtype=jnp.float32)
+        h = 128
+    cfg = BiEncoderConfig(bert=bert)
+    model = BiEncoder(cfg)
+    seq = 128
+    rng = np.random.default_rng(0)
+    print(f"# generating {mesh_rows} token rows", flush=True)
+    ids = rng.integers(5, 30000, size=(mesh_rows, seq)).astype(np.uint16)
+    ids[:, 0] = 101                              # CLS: no all-pad rows
+    init_ids = ids[:2].astype(np.int32)
+    params = model.init(jax.random.PRNGKey(0), init_ids[:, :32],
+                        np.ones((2, 32), np.int32), init_ids,
+                        np.ones((2, seq), np.int32))
+    encode_fn = lambda p, i, m: model.apply(p, i, m,
+                                            method="encode_passage")
+
+    chunk = args.chunk
+    per_pass = args.max_resident - args.max_resident % chunk
+    n_pass = -(-mesh_rows // per_pass)
+    index = MIPSIndex(
+        mesh, block_size=65536 if on_tpu else 4096, store_dtype=jnp.int8,
+        mode="approx", max_resident_rows=args.max_resident,
+        stall_timeout_s=600.0 if on_tpu else None)
+    index.build_streaming(encode_fn, params, ids, chunk_size=chunk,
+                          wire_dtype=np.uint16)
+    assert index._pass_src is not None, (
+        "corpus fits resident — wiki21m must exercise the multi-pass path")
+
+    n_q = args.queries
+    q = np.asarray(
+        jax.random.normal(jax.random.key(1, impl="rbg"), (n_q, h),
+                          jnp.bfloat16), np.float32)
+    print(f"# (a) TIMING multi-pass mine, BERT encoder: {mesh_rows} rows "
+          f"in {n_pass} passes of <= {per_pass}", flush=True)
+    t0 = time.time()
+    scores, top_ids = index.search(q, 100)
+    mine_s = time.time() - t0
+    # each pass re-encodes its own slice -> total encode work is ONE full
+    # corpus, regardless of pass count
+    enc_flops = _encode_flops(mesh_rows, seq)
+
+    # ---- (b) recall sub-stage: well-spread embedding-table encoder -----
+    table = jnp.asarray(
+        rng.standard_normal((30000, h), dtype=np.float32))
+
+    def table_encode(tbl, tok, msk):
+        e = tbl[tok] * msk[..., None].astype(tbl.dtype)
+        return e.sum(1) / jnp.maximum(
+            msk.sum(1, keepdims=True).astype(tbl.dtype), 1.0)
+
+    t_index = MIPSIndex(
+        mesh, block_size=index.block_size, store_dtype=jnp.int8,
+        mode="approx", max_resident_rows=args.max_resident,
+        stall_timeout_s=600.0 if on_tpu else None)
+    t_index.build_streaming(table_encode, table, ids, chunk_size=chunk,
+                            wire_dtype=np.uint16)
+    print(f"# (b) RECALL multi-pass mine, table encoder", flush=True)
+    t1 = time.time()
+    _, t_ids = t_index.search(q, 100)
+    t_mine_s = time.time() - t1
+
+    # recall@100 vs an f32 candidate-set oracle on a query subset: each
+    # query's candidates = its multi-pass top-100 UNION a shared random
+    # row sample; candidates are re-encoded to f32 on device and scored
+    # in f32 on host. Catches quantization/rank errors AND (via the
+    # random sample) rows the multi-pass search wrongly dropped.
+    n_check = min(128, n_q)
+    shared = rng.integers(0, mesh_rows, size=4096)
+    cand = np.unique(np.concatenate([t_ids[:n_check].ravel(), shared]))
+    enc = jax.jit(table_encode)
+    cb = 1024
+    cand_emb = []
+    for s in range(0, len(cand), cb):
+        rows = cand[s: s + cb]
+        tok = ids[rows].astype(np.int32)
+        if len(rows) < cb:
+            tok = np.pad(tok, ((0, cb - len(rows)), (0, 0)))
+            tok[len(rows):, 0] = 101
+        msk = (tok != 0).astype(np.int32)
+        cand_emb.append(np.asarray(enc(table, tok, msk),
+                                   np.float32)[:len(rows)])
+    cand_emb = np.concatenate(cand_emb)
+    pos = {int(r): i for i, r in enumerate(cand)}
+    oracle_scores = q[:n_check] @ cand_emb.T            # [n_check, |cand|]
+    recalls = []
+    for qi in range(n_check):
+        own = np.array([pos[int(r)] for r in t_ids[qi]])
+        allowed = np.union1d(own, [pos[int(r)] for r in shared])
+        top = allowed[np.argsort(-oracle_scores[qi, allowed])[:100]]
+        recalls.append(len(set(cand[top]) & set(int(r) for r in
+                                                t_ids[qi])) / 100)
+    recall = float(np.mean(recalls))
+
+    emit({
+        "stage": "wiki21m",
+        "rows": mesh_rows, "passes": n_pass, "per_pass_rows": per_pass,
+        "store": "int8", "queries": n_q, "k": 100,
+        "mine_s_bert": round(mine_s, 1),
+        "passages_per_s_effective": round(mesh_rows / mine_s, 1),
+        "qps_effective": round(n_q / mine_s, 2),
+        "encode_mfu_lower_bound": round(
+            enc_flops / mine_s / PEAK_BF16, 4),
+        "mine_s_table": round(t_mine_s, 1),
+        "recall_at_100_vs_f32_candidate_oracle": round(recall, 4),
+        "oracle": f"{n_check} queries x (own top-100 + 4096 shared "
+                  "random rows), f32 device re-encode + host matmul; "
+                  "table encoder (random-init BERT embeddings are "
+                  "collapsed ties — see module docstring)",
+        "note": "one v5e chip; each pass re-encodes its slice "
+                "(ids-only wire traffic); host merge across passes; "
+                "reference shards this corpus over 8 A100s "
+                "(co_training_generate_new_train_wiki.py:307-332)",
+        **cal,
+    })
+
+
+def stage_ce_attack(args):
+    """Placeholder: filled in by the CE S=160 work (see bench_r4.py
+    ce_shape for the baseline battery)."""
+    raise SystemExit("ce_attack: use bench_r4.py ce_shape variants; "
+                     "the round-5 fused-attention A/B lands separately")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("stage", choices=["wiki21m", "ce_attack"])
+    ap.add_argument("--rows", type=int, default=WIKI_ROWS)
+    ap.add_argument("--queries", type=int, default=7000)
+    ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--max-resident", type=int, default=10_510_336,
+                    help="rows resident per pass (int8: ~8.1 GB of 16)")
+    args = ap.parse_args()
+    {"wiki21m": stage_wiki21m, "ce_attack": stage_ce_attack}[args.stage](args)
+
+
+if __name__ == "__main__":
+    main()
