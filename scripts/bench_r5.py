@@ -191,11 +191,129 @@ def stage_wiki21m(args):
     })
 
 
+CE_ATTACK_LABELS = [
+    "step160_remat_xla", "step160_remat_group", "step160_remat_perbh",
+    "step160_noremat_xla", "step160_noremat_group", "fwd160_group",
+]
+
+
 def stage_ce_attack(args):
-    """Placeholder: filled in by the CE S=160 work (see bench_r4.py
-    ce_shape for the baseline battery)."""
-    raise SystemExit("ce_attack: use bench_r4.py ce_shape variants; "
-                     "the round-5 fused-attention A/B lands separately")
+    """CE S=160 joint-shape attack (VERDICT r4 #5).
+
+    r4 attribution: the S=160 shape itself costs the last 15% (fwd MFU
+    0.586 at S=128 vs 0.470 at S=160; step 487 ms remat at 0.397) —
+    160 = 128+32 is neither VPU-lane- nor MXU-half-pass-aligned, so
+    XLA's attention pads. Candidates measured here, each in its own
+    subprocess (fresh HBM):
+
+    - ``group``: the grouped small-S Pallas attention
+      (``flash_attention.SMALL_S_IMPL='group'``) — whole 160x160 f32
+      score tiles live in VMEM per (2-batch x all-head) program, no
+      padded HBM materialization; custom VJP, so it runs under grad.
+    - ``perbh``: the per-(batch,head) kernel forced down to S=160
+      (``_MIN_FUSED_SEQ`` override) — finer grid, more programs, but the
+      CE-large per-program work (D=64, S=160) is 4x the BERT-base shape
+      the r2 dispatch threshold was measured on.
+    - 128+32 packing is REASONED OUT, not measured: splitting the joint
+      breaks query<->passage cross-attention (the CE's whole purpose),
+      and data-dependent repacking violates the static-shape invariant.
+
+    Baselines (xla) re-measure in THIS session for honest A/Bs.
+    Target: step <= ~420 ms (>= 0.47 MFU-3x) from 487, or a recorded null.
+    """
+    only = os.environ.get("SIMXNS_CE_ATTACK_ONLY")
+    if only is None:
+        import subprocess
+
+        t_start = time.time()
+        rcs = {}
+        for lab in CE_ATTACK_LABELS:
+            env = dict(os.environ, SIMXNS_CE_ATTACK_ONLY=lab)
+            rcs[lab] = subprocess.run(
+                [sys.executable, __file__, "ce_attack",
+                 "--batch", str(args.batch)], env=env, check=False,
+            ).returncode
+        merged = {}
+        if os.path.exists(RESULTS):
+            with open(RESULTS) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if (rec.get("stage") == "ce_attack_part"
+                            and rec["ts"] >= t_start):
+                        merged.update({k: v for k, v in rec.items()
+                                       if k not in ("ts", "stage")})
+        for lab in CE_ATTACK_LABELS:
+            if lab not in merged:
+                merged[lab] = {"error": f"subprocess exit {rcs[lab]}, "
+                                        "no ce_attack_part emitted"}
+        emit({"stage": "ce_attack", "n_groups": args.batch, **merged})
+        return
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simxns_tpu.models import BertConfig, CrossEncoder, CrossEncoderConfig
+    from simxns_tpu.ops import flash_attention as fa
+    from simxns_tpu.parallel import create_mesh, shard_batch
+    from simxns_tpu.train import TrainState, make_adamw, make_reranker_step
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if "group" in only:
+        fa.SMALL_S_IMPL = "group"
+    if "perbh" in only:
+        fa._MIN_FUSED_SEQ = 160
+    mesh = create_mesh()
+    rng = np.random.default_rng(0)
+    n, m, lj = args.batch, 16, 160
+    if not on_tpu:                      # CPU flow check: interpret kernels
+        fa.INTERPRET = True
+        n, m = 2, 2
+
+    j = rng.integers(5, 30000, size=(n, m, lj)).astype(np.int32)
+    batch = {"joint_ids": j, "joint_mask": np.ones_like(j)}
+    cfg = (BertConfig(num_layers=24, hidden_size=1024, num_heads=16,
+                      intermediate_size=4096, dtype=jnp.bfloat16,
+                      remat="remat" in only) if on_tpu else
+           BertConfig.tiny(vocab_size=30522))
+    ce = CrossEncoder(CrossEncoderConfig(bert=cfg))
+    p = ce.init(jax.random.PRNGKey(0), j.reshape(n * m, lj)[:2],
+                np.ones((2, lj), np.int32))
+    sys.path.insert(0, "/root/repo/scripts")
+    from bench_r4 import _time_burst, bert_flops
+
+    fwd = bert_flops(n * m * lj, n * m, L=cfg.num_layers,
+                     H=cfg.hidden_size, F=cfg.intermediate_size, S=lj)
+    dev_batch = shard_batch(batch, mesh)
+
+    if only.startswith("fwd"):
+        @jax.jit
+        def f(p, b):
+            n_, m_, lj_ = b["joint_ids"].shape
+            out = ce.apply(p, b["joint_ids"].reshape(n_ * m_, lj_),
+                           b["joint_mask"].reshape(n_ * m_, lj_),
+                           group_size=m_, deterministic=True)
+            return out["logits"]
+
+        ms = _time_burst(lambda: f(p, dev_batch), k=8)
+        res = {"ms": round(ms, 1),
+               "mfu_1x": round(fwd / (ms / 1e3) / PEAK_BF16, 4),
+               "us_per_row": round(ms * 1000 / (n * m), 1)}
+    else:
+        tx = make_adamw(1e-6, total_steps=0)
+        step = make_reranker_step(ce, tx, mesh, group_size=m)
+        holder = {"s": TrainState.create(p, tx)}
+
+        def one():
+            holder["s"], metr = step(holder["s"], dev_batch)
+            return metr["loss"]
+
+        ms = _time_burst(one, k=8)
+        res = {"ms": round(ms, 1),
+               "mfu_3x": round(3 * fwd / (ms / 1e3) / PEAK_BF16, 4),
+               "us_per_row": round(ms * 1000 / (n * m), 1)}
+    print(only, res, flush=True)
+    emit({"stage": "ce_attack_part", only: res})
 
 
 def main():
@@ -206,6 +324,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--max-resident", type=int, default=10_510_336,
                     help="rows resident per pass (int8: ~8.1 GB of 16)")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="ce_attack: joint groups per step (recipe "
+                         "chip-share is 8)")
     args = ap.parse_args()
     {"wiki21m": stage_wiki21m, "ce_attack": stage_ce_attack}[args.stage](args)
 
