@@ -117,6 +117,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "hours (round-4 relay failure mode). Default: "
                          "600 for --full-size runs, off otherwise; 0 "
                          "disables")
+    ap.add_argument("--max-resident-rows", type=int, default=None,
+                    help="index rows resident in HBM per search pass; a "
+                         "larger corpus is searched in build->search->free "
+                         "passes with a host top-k merge (the single-chip "
+                         "21M-row wiki path; int8 at ~10.5M rows/pass). "
+                         "Requires the streaming build; update_rows paths "
+                         "(AR2 incremental re-encode) re-encode from "
+                         "tokens instead")
     ap.add_argument("--fast-encode", action="store_true",
                     help="mine through the whole-layer fused int8 encode "
                          "kernel (TPU; params shared with the bf16 "
@@ -217,6 +225,7 @@ def _index_kwargs(args) -> dict:
     return {
         "mode": args.index_mode or ("fused" if args.tpu else "exact"),
         "stall_timeout_s": timeout,
+        "max_resident_rows": args.max_resident_rows,
     }
 
 
