@@ -63,6 +63,12 @@ class BertConfig:
     dtype: Any = jnp.bfloat16          # activation/compute dtype
     param_dtype: Any = jnp.float32     # master params stay f32
     attention_impl: str = "flash"      # "flash" auto-picks pallas/xla by seq len
+    small_s_attn: Optional[str] = None # S < 256 flash sub-policy per model:
+                                       # None = ops/flash_attention.SMALL_S_IMPL
+                                       # (measured default "xla"); "group" =
+                                       # the grouped VMEM-resident kernel
+                                       # (custom VJP — the CE S=160 joint-
+                                       # shape candidate, bench_r5 ce_attack)
     ffn_impl: str = "xla"              # "fused" = weight-stationary Pallas FFN
                                        # (fwd kernel, XLA bwd — encode);
                                        # "fused_vjp" = full-Pallas fwd+bwd
@@ -113,6 +119,7 @@ class BertConfig:
                              f"'roberta', got {self.position_style!r}")
         for field, allowed in (
                 ("attention_impl", ("xla", "flash")),
+                ("small_s_attn", (None, "xla", "group")),
                 ("ffn_impl", ("xla", "fused", "fused_vjp", "int8")),
                 ("proj_impl", ("xla", "int8")),
                 ("layer_impl", ("xla", "fused_int8"))):
@@ -274,6 +281,7 @@ class BertSelfAttention(nn.Module):
             q, k, v, attention_mask,
             impl=cfg.attention_impl, return_probs=output_attention,
             dropout_rate=cfg.attention_dropout, dropout_rng=attn_rng,
+            small_s_impl=cfg.small_s_attn,
         )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
         if cfg.proj_impl == "int8":

@@ -68,6 +68,7 @@ def multi_head_attention(
     return_probs: bool = False,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    small_s_impl: Optional[str] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Scaled dot-product attention over [B, H, S, D] tensors.
 
@@ -89,7 +90,8 @@ def multi_head_attention(
     if impl == "flash" and not return_probs and not drop:
         from simxns_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, attention_mask), None
+        return flash_attention(q, k, v, attention_mask,
+                               small_s_impl=small_s_impl), None
     return _xla_attention(q, k, v, bias, return_probs=return_probs,
                           dropout_rate=dropout_rate if drop else 0.0,
                           dropout_rng=dropout_rng if drop else None)

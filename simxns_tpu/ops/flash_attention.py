@@ -307,8 +307,16 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     attention_mask: Optional[jax.Array] = None,
+    small_s_impl: Optional[str] = None,
 ) -> jax.Array:
-    """Fused attention over [B, H, S, D]; BERT-style [B, S] key mask."""
+    """Fused attention over [B, H, S, D]; BERT-style [B, S] key mask.
+
+    ``small_s_impl`` overrides the module-level ``SMALL_S_IMPL`` for the
+    S < ``_MIN_FUSED_SEQ`` regime (per-model selection: the grouped
+    kernel's in-model verdict differs by shape — it lost for BERT-base
+    encode at S=128 (r2) but is the round-5 candidate for the CE-large
+    S=160 joint step).
+    """
     b, h, s, d = q.shape
     on_pallas = INTERPRET or jax.devices()[0].platform == "tpu"
     if not on_pallas or s > _MAX_FUSED_SEQ:
@@ -317,7 +325,7 @@ def flash_attention(
         attention_mask = jnp.ones((b, s), jnp.int32)
     if s >= _MIN_FUSED_SEQ:
         return _fused_attention(q, k, v, attention_mask)
-    if SMALL_S_IMPL == "group":
+    if (small_s_impl or SMALL_S_IMPL) == "group":
         return _fused_attention_group(q, k, v, attention_mask)
     if INTERPRET:  # tests exercise the per-(b,h) kernel at any S
         return _fused_attention(q, k, v, attention_mask)

@@ -112,3 +112,31 @@ def test_group_bwd_matches_xla(group_mode):
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_small_s_attn_config_selects_group(interpret_mode):
+    """BertConfig.small_s_attn='group' routes THIS model through the
+    grouped kernel without touching the module-global default (per-model
+    selection for the CE S=160 candidate, bench_r5 ce_attack) — and the
+    in-model numerics match the default path."""
+    from simxns_tpu.models.bert import BertConfig, BertEncoder
+
+    assert fa.SMALL_S_IMPL == "xla"        # global default untouched
+    cfg_d = BertConfig.tiny(attention_impl="flash")
+    cfg_g = cfg_d.replace(small_s_attn="group")
+    rng = np.random.default_rng(3)
+    ids = rng.integers(4, 1000, size=(4, 32)).astype(np.int32)
+    mask = np.ones_like(ids)
+    enc = BertEncoder(cfg_d)
+    params = enc.init(jax.random.PRNGKey(0), ids, mask)
+    out_d = enc.apply(params, ids, mask).pooled
+    out_g = BertEncoder(cfg_g).apply(params, ids, mask).pooled
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_d),
+                               atol=2e-4, rtol=2e-4)
+
+    # grads flow through the grouped kernel's custom VJP in-model
+    def loss(p):
+        return jnp.sum(BertEncoder(cfg_g).apply(p, ids, mask).pooled ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(g))
