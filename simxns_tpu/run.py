@@ -961,6 +961,10 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
         guard.update(r.top_k_hits[0])      # warns/errors on collapse
         logger.log(gstep, {"top1": r.top_k_hits[0]}, phase="refresh")
         ds = dataset_from(r, gstep)
+        # resident-mine checkpoints pull states on the writer thread,
+        # overlapped with the mine above; the barrier (defined below,
+        # resolved at call time) must land before training resumes
+        join_pulls()
         if len(ds) < batch_size:
             return None
         return lambda: ds.batches(batch_size=batch_size)
@@ -996,34 +1000,60 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
             raise RuntimeError(
                 "background checkpoint write failed") from err
 
+    pending_pulls: list = []
+
+    def join_pulls():
+        # overlapped checkpoint pulls MUST land before training resumes:
+        # the next window's steps DONATE their state arg, invalidating the
+        # very buffers a still-running device_get would read
+        with logger.timed("checkpoint_pull_join"):
+            while pending_pulls:
+                pending_pulls.pop().wait()
+
     def checkpoint(de_s, ce_s, gstep):
         # full-state window-boundary checkpoints: what the resume scan
         # restores (the reference writes checkpoint-<step> /
         # checkpoint-reranker<step> at each break-out,
         # co_training_wiki_train.py:300-306,319-354).
         #
-        # The wall cost here is ONE device->host pull of the retriever
-        # state: under offload the driver hands the reranker state over as
-        # the HostStash the mine needed anyway, and the Orbax writes run on
-        # a background thread overlapped with the minutes-long mine phase
-        # that follows this boundary (Orbax's tmp-dir + rename keeps a
-        # crash mid-write from ever surfacing as a resumable artifact).
+        # Wall cost by mode:
+        # - offload on: ONE device->host pull of the retriever state — the
+        #   driver hands the reranker state over as the HostStash the mine
+        #   needed anyway;
+        # - offload off (index + states fit HBM, e.g. int8 at the 8.8M
+        #   working point): ZERO synchronous pulls — both states are
+        #   stable reads during the mine, so the writer thread pulls them
+        #   overlapped with it; `join_pulls` (called by `refresh` after
+        #   the mine) gates training resume on the pulls having landed.
+        # Either way the Orbax writes run on a background thread under the
+        # minutes-long mine (Orbax's tmp-dir + rename keeps a crash
+        # mid-write from ever surfacing as a resumable artifact).
         if not args.output_dir:
             return
         with logger.timed("checkpoint"):
             join_saves()   # one write in flight at a time
-            de_host = jax.device_get(de_s)
-            ce_host = (ce_s.numpy_tree() if isinstance(ce_s, HostStash)
-                       else jax.device_get(ce_s))
+            stashed = isinstance(ce_s, HostStash)
+            de_host = jax.device_get(de_s) if stashed else None
+            ce_host = ce_s.numpy_tree() if stashed else None
+            pulled = threading.Event()
+            if stashed:
+                pulled.set()
+            else:
+                pending_pulls.append(pulled)
 
             def write():
                 try:
-                    save_checkpoint(args.output_dir, de_host, gstep,
+                    d = de_host if stashed else jax.device_get(de_s)
+                    c = ce_host if stashed else jax.device_get(ce_s)
+                    pulled.set()
+                    save_checkpoint(args.output_dir, d, gstep,
                                     name="retriever_state")
-                    save_checkpoint(args.output_dir, ce_host, gstep,
+                    save_checkpoint(args.output_dir, c, gstep,
                                     name="reranker_state")
                 except BaseException as e:  # surfaced by join_saves()
                     save_errors.append(e)
+                finally:
+                    pulled.set()   # never leave join_pulls waiting
 
             t = threading.Thread(target=write, name=f"ckpt-{gstep}")
             t.start()
