@@ -135,11 +135,19 @@ def build_parser() -> argparse.ArgumentParser:
                          "encode->quantize->scatter path (uint16 ids on "
                          "the wire, no host round-trip of embeddings); "
                          "auto = on (off is the A/B escape hatch)")
-    ap.add_argument("--offload-mine", choices=["auto", "on", "off"],
+    ap.add_argument("--offload-mine",
+                    choices=["auto", "on", "off", "overlap"],
                     default="auto",
-                    help="stash the reranker state to host RAM during "
-                         "mine phases (it is dead HBM weight next to the "
-                         "index); auto = on for full-size runs")
+                    help="reranker state during mine phases: 'on' = "
+                         "synchronous host stash (dead HBM weight next "
+                         "to the index; ~250 s/pull on the relay wire); "
+                         "'overlap' = the stash pull rides a worker "
+                         "thread under the index build (wire time hides "
+                         "in the encode; only the restore stays "
+                         "exposed); 'off' = fully resident (smaller "
+                         "corpora only — the 8.8M int8 search does not "
+                         "fit next to CE-large). auto = overlap for "
+                         "full-size runs")
     ap.add_argument("--fast-teacher", action="store_true",
                     help="run frozen-teacher forwards (AR2 retriever step, "
                          "PROD KD, LEAD frozen teachers) through the "
@@ -805,13 +813,27 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     # token ids travel the wire every refresh — uint16 when the vocab fits
     wire_dtype = np.uint16 if data.vocab_size <= 0xFFFF else np.int32
     # the mine phase holds the index + DE params; the reranker state is
-    # dead weight there (~4 GB at recipe scale on a 16 GB chip)
-    offload_mine = (args.offload_mine == "on"
-                    or (args.offload_mine == "auto" and args.full_size))
+    # dead weight there (~4 GB at recipe scale on a 16 GB chip).
+    # Modes (measured at the 8.8M int8 working point, round 5):
+    # - "on":      synchronous stash before the mine (~250 s/pull on the
+    #              relay wire) — always memory-safe;
+    # - "off":     fully resident — the BUILD fits next to DE+CE (13.5 of
+    #              15.75 GB) but the SEARCH does not (RESOURCE_EXHAUSTED
+    #              at the brink, iter_r5b run) — only for smaller corpora;
+    # - "overlap": the stash pull rides on a worker thread UNDER the
+    #              index build (CE resident through the build, gone
+    #              before the search) — the wire time hides inside the
+    #              minutes-long encode, leaving only the restore exposed.
+    offload_mode = (args.offload_mine if args.offload_mine != "auto"
+                    else ("overlap" if args.full_size else "off"))
+    offload_mine = offload_mode == "on"     # driver-managed sync stash
+
+    import queue as _queue
+    import threading
 
     from simxns_tpu.parallel.watchdog import retry_on_stall
 
-    def mine(state):
+    def mine(state, pre_search=None):
         # phase-level abort-and-retry: when the index's stall watchdog
         # gives up on a wedged sync (StallError), the whole build/search
         # is re-run from scratch — build_streaming re-allocates its buffer
@@ -830,6 +852,8 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
 
         retry_on_stall(build, attempts=2, desc="index build",
                        cleanup=index.free)
+        if pre_search is not None:
+            pre_search()   # overlap mode: CE must leave HBM before search
         with logger.timed("encode_queries"):
             q_emb = q_enc(state.params, data.query_ids, data.query_mask)
         # engine.mine times its own "search" / "hit_labeling" phases
@@ -841,12 +865,55 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     from simxns_tpu.parallel.offload import HostStash
     from simxns_tpu.parallel.sync import force_sync
 
+    # checkpoint <-> refresh rendezvous for overlap mode: the boundary's
+    # checkpoint writer consumes the stash's host copy the refresh pulled
+    # (numpy trees — valid regardless of when restore() runs)
+    stash_for_ckpt: _queue.Queue = _queue.Queue()
+
+    def start_stash_overlap(ce_s):
+        """Pull ``ce_s`` to host (freeing its HBM) on a worker thread.
+        Returns join() -> HostStash; join blocks until the pull landed."""
+        box = {"stash": None, "err": None}
+        done = threading.Event()
+
+        def pull():
+            try:
+                box["stash"] = HostStash(ce_s)
+            except BaseException as e:  # re-raised at join()
+                box["err"] = e
+            finally:
+                done.set()
+
+        threading.Thread(target=pull, name="stash-overlap",
+                         daemon=True).start()
+
+        def join():
+            with logger.timed("offload_stash_join"):
+                done.wait()
+            if box["err"] is not None:
+                raise box["err"]
+            return box["stash"]
+
+        return join
+
     def mine_offloaded(state, ce_s):
         """mine() with the reranker state stashed to host for the duration
         (the in-window refreshes get the same treatment from
-        ``AR2CoTrainer(offload_refresh=...)``)."""
-        if not offload_mine:
+        ``AR2CoTrainer(offload_refresh=...)`` or the overlap-aware
+        ``refresh`` below)."""
+        if offload_mode == "off":
             return mine(state), ce_s
+        if offload_mode == "overlap":
+            join = start_stash_overlap(ce_s)
+            holder = {}
+
+            def pre_search():
+                holder["stash"] = join()
+
+            r = mine(state, pre_search=pre_search)
+            index.free()
+            with logger.timed("offload_restore"):
+                return r, holder["stash"].restore()
         with logger.timed("offload_stash"):
             stash = HostStash(ce_s)
         r = mine(state)
@@ -956,12 +1023,30 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     history = [res.top_k_hits[0]]
 
     def refresh(state, gstep):
-        r = mine(state)
+        pre_search = None
+        holder = {}
+        if offload_mode == "overlap":
+            # boundary stash rides under the index build; its host copy
+            # feeds the checkpoint writer (stash_for_ckpt), so the CE
+            # state crosses the wire exactly ONCE per boundary and none
+            # of it is exposed wall-clock except the restore
+            join = start_stash_overlap(trainer.ce_state)
+
+            def pre_search():
+                stash = join()
+                if args.output_dir:
+                    stash_for_ckpt.put(stash.numpy_tree())
+                holder["stash"] = stash
+
+        r = mine(state, pre_search=pre_search)
         history.append(r.top_k_hits[0])
         guard.update(r.top_k_hits[0])      # warns/errors on collapse
         logger.log(gstep, {"top1": r.top_k_hits[0]}, phase="refresh")
         ds = dataset_from(r, gstep)
-        # resident-mine checkpoints pull states on the writer thread,
+        if "stash" in holder:
+            with logger.timed("offload_restore"):
+                trainer.ce_state = holder["stash"].restore()
+        # resident/overlap checkpoints pull states on the writer thread,
         # overlapped with the mine above; the barrier (defined below,
         # resolved at call time) must land before training resumes
         join_pulls()
@@ -981,8 +1066,6 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
         (lambda: first_ds.batches(batch_size=batch_size))
         if len(first_ds) >= batch_size
         else (lambda: warm_ds.batches(batch_size=batch_size)))
-
-    import threading
 
     pending_saves: list = []
     save_errors: list = []
@@ -1044,8 +1127,18 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
             def write():
                 try:
                     d = de_host if stashed else jax.device_get(de_s)
-                    c = ce_host if stashed else jax.device_get(ce_s)
-                    pulled.set()
+                    if stashed:
+                        c = ce_host
+                        pulled.set()
+                    elif offload_mode == "overlap":
+                        # DE landed; CE arrives as the refresh's stash host
+                        # copy — never a device pull from this thread (the
+                        # stash thread deletes those buffers mid-mine)
+                        pulled.set()
+                        c = stash_for_ckpt.get(timeout=3600)
+                    else:              # fully resident: both pulls gate
+                        c = jax.device_get(ce_s)
+                        pulled.set()
                     save_checkpoint(args.output_dir, d, gstep,
                                     name="retriever_state")
                     save_checkpoint(args.output_dir, c, gstep,

@@ -372,16 +372,29 @@ def test_allies_recipe_answers_questions(tmp_path):
 
 
 def test_ar2_offload_mine_matches_default(tmp_path):
-    """--offload-mine on (reranker state round-trips through host RAM at
-    every mine) must be bit-identical to the default in-HBM run: the stash
-    is a pure data movement (parallel/offload.HostStash), exercised here
-    through all three sites (post-warmup, in-window refresh, final)."""
+    """--offload-mine on/overlap (reranker state round-trips through host
+    RAM at every mine — synchronously or on a worker thread under the
+    index build) must be bit-identical to the default in-HBM run: the
+    stash is a pure data movement (parallel/offload.HostStash), exercised
+    here through all three sites (post-warmup, in-window refresh, final)
+    plus the overlap mode's stash->checkpoint-writer handoff."""
     out_a = run_mod.main(_ar2_args(tmp_path / "a", "nq_ar2_simans",
                                    extra=("--offload-mine", "off")))
     out_b = run_mod.main(_ar2_args(tmp_path / "b", "nq_ar2_simans",
                                    extra=("--offload-mine", "on")))
-    assert out_a["top1"] == out_b["top1"]
-    assert out_a["history_top1"] == out_b["history_top1"]
+    out_c = run_mod.main(_ar2_args(tmp_path / "c", "nq_ar2_simans",
+                                   extra=("--offload-mine", "overlap")))
+    assert out_a["top1"] == out_b["top1"] == out_c["top1"]
+    assert (out_a["history_top1"] == out_b["history_top1"]
+            == out_c["history_top1"])
+    # the overlap boundary checkpoints must be complete + resumable
+    # (reranker_state comes via the stash handoff, not a device pull)
+    steps = {int(n.split("-")[-1])
+             for n in os.listdir(tmp_path / "c")
+             if n.startswith("reranker_state-")}
+    assert steps == {int(n.split("-")[-1])
+                     for n in os.listdir(tmp_path / "b")
+                     if n.startswith("reranker_state-")} != set()
 
 
 def test_ar2_stream_build_matches_host_build(tmp_path):
