@@ -1135,7 +1135,7 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
                         # copy — never a device pull from this thread (the
                         # stash thread deletes those buffers mid-mine)
                         pulled.set()
-                        c = stash_for_ckpt.get(timeout=3600)
+                        c = stash_for_ckpt.get(timeout=7200)
                     else:              # fully resident: both pulls gate
                         c = jax.device_get(ce_s)
                         pulled.set()
