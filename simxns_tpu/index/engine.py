@@ -47,10 +47,17 @@ class CorpusEncoder:
     """
 
     def __init__(self, encode_fn: Callable, mesh: Mesh, chunk_size: int = 4096,
-                 inflight: int = 4):
+                 inflight: int = 4, stall_timeout_s: Optional[float] = None,
+                 stall_retries: int = 2):
         self.mesh = mesh
         self.chunk_size = chunk_size
         self.inflight = inflight
+        # stall watchdog (parallel/watchdog.py): round 5's iter_r5d run
+        # wedged in the QUERY encode — the one mine sub-phase whose result
+        # pulls were unbounded (index build/search were already covered).
+        # Bound them the same way.
+        self.stall_timeout_s = stall_timeout_s
+        self.stall_retries = stall_retries
         if mesh.size > 1:
             in_shard = NamedSharding(mesh, P(DATA_AXIS, None))
             self._encode = jax.jit(
@@ -78,7 +85,11 @@ class CorpusEncoder:
 
         def drain_one():
             emb, valid = pending.pop(0)
-            done.append(np.asarray(emb, dtype=out_dtype)[:valid])
+            done.append(run_with_deadline(
+                lambda: np.asarray(emb, dtype=out_dtype)[:valid],
+                self.stall_timeout_s,
+                desc=f"corpus encode pull ({n} rows)",
+                retries=self.stall_retries))
 
         for s in range(0, n, self.chunk_size):
             ids = token_ids[s: s + self.chunk_size]

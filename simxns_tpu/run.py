@@ -220,16 +220,21 @@ def _setup_platform(args) -> None:
             "a jax array). Pass --tpu to run on real chips deliberately.")
 
 
-def _index_kwargs(args) -> dict:
-    """Shared MIPSIndex knobs for every recipe's index — the --index-mode
-    flag applies to ALL runners (it used to be silently AR2-only), and the
-    stall watchdog defaults on for full-size runs (deadline 600 s; the
-    round-4 wedge burned 58 min before a manual kill)."""
+def _stall_timeout(args):
     timeout = args.stall_timeout
     if timeout is None:
         timeout = 600.0 if args.full_size else None
     elif timeout <= 0:
         timeout = None
+    return timeout
+
+
+def _index_kwargs(args) -> dict:
+    """Shared MIPSIndex knobs for every recipe's index — the --index-mode
+    flag applies to ALL runners (it used to be silently AR2-only), and the
+    stall watchdog defaults on for full-size runs (deadline 600 s; the
+    round-4 wedge burned 58 min before a manual kill)."""
+    timeout = _stall_timeout(args)
     return {
         "mode": args.index_mode or ("fused" if args.tpu else "exact"),
         "stall_timeout_s": timeout,
@@ -253,7 +258,8 @@ def _build_index(index, encode_fn, params, token_ids, mask, mesh, vocab_size,
             encode_fn, params, token_ids, chunk_size=chunk,
             wire_dtype=np.uint16 if vocab_size <= 0xFFFF else np.int32)
     else:
-        enc = CorpusEncoder(encode_fn, mesh, chunk_size=chunk)
+        enc = CorpusEncoder(encode_fn, mesh, chunk_size=chunk,
+                            stall_timeout_s=_stall_timeout(args))
         index.build(enc(params, token_ids, mask))
 
 
@@ -805,10 +811,12 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     corpus_chunk = min(1024, max(64, len(data.corpus_ids) // 4))
     p_enc_fn = lambda p, i, m: enc_model.apply(p, i, m,
                                                method="encode_passage")
-    p_enc = CorpusEncoder(p_enc_fn, mesh, chunk_size=corpus_chunk)
+    p_enc = CorpusEncoder(p_enc_fn, mesh, chunk_size=corpus_chunk,
+                          stall_timeout_s=_stall_timeout(args))
     q_enc = CorpusEncoder(
         lambda p, i, m: enc_model.apply(p, i, m, method="encode_query"),
-        mesh, chunk_size=min(1024, max(64, len(data.query_ids))))
+        mesh, chunk_size=min(1024, max(64, len(data.query_ids))),
+        stall_timeout_s=_stall_timeout(args))
     stream_build = args.stream_build != "off"
     # token ids travel the wire every refresh — uint16 when the vocab fits
     wire_dtype = np.uint16 if data.vocab_size <= 0xFFFF else np.int32
@@ -854,8 +862,13 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
                        cleanup=index.free)
         if pre_search is not None:
             pre_search()   # overlap mode: CE must leave HBM before search
-        with logger.timed("encode_queries"):
-            q_emb = q_enc(state.params, data.query_ids, data.query_mask)
+
+        def encode_queries():
+            with logger.timed("encode_queries"):
+                return q_enc(state.params, data.query_ids, data.query_mask)
+
+        q_emb = retry_on_stall(encode_queries, attempts=2,
+                               desc="query encode")
         # engine.mine times its own "search" / "hit_labeling" phases
         return retry_on_stall(
             lambda: engine.mine(q_emb, data.questions, data.answers, k=topk,
@@ -1595,7 +1608,8 @@ def run_lead(name: str, cfg, args) -> dict:
     db_enc_fn = lambda p, i, msk: db.apply(p, i, msk, method="encode_passage")
     q_enc = CorpusEncoder(
         lambda p, i, msk: db.apply(p, i, msk, method="encode_query"),
-        mesh, chunk_size=min(1024, max(64, nq)))
+        mesh, chunk_size=min(1024, max(64, nq)),
+        stall_timeout_s=_stall_timeout(args))
     _build_index(index, db_enc_fn, states["db"].params, data.corpus_ids,
                  data.corpus_mask, mesh, data.vocab_size, args)
     res = engine.mine(q_enc(states["db"].params, data.query_ids,
@@ -1811,7 +1825,8 @@ def run_capstone(name: str, cfg, args) -> dict:
     enc_fn = lambda p, i, msk: model.apply(p, i, msk, method="encode_passage")
     q_enc = CorpusEncoder(
         lambda p, i, msk: model.apply(p, i, msk, method="encode_query"),
-        mesh, chunk_size=min(1024, max(64, nq)))
+        mesh, chunk_size=min(1024, max(64, nq)),
+        stall_timeout_s=_stall_timeout(args))
     _build_index(index, enc_fn, state.params, exp_corpus,
                  (exp_corpus != 0).astype(np.int32), mesh,
                  data.vocab_size, args)

@@ -165,3 +165,38 @@ def test_build_streaming_raises_bounded_stallerror(monkeypatch):
         index.build_streaming(_toy_encode, jnp.asarray(table), ids,
                               chunk_size=16)
     assert time.monotonic() - t0 < 2.0
+
+
+def test_corpus_encoder_pulls_bounded(monkeypatch):
+    """iter_r5d wedged in the QUERY encode — the one mine sub-phase whose
+    result pulls were unbounded. Every CorpusEncoder drain must now route
+    through run_with_deadline with the configured knobs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import simxns_tpu.index.engine as eng
+    from simxns_tpu.parallel import create_mesh
+
+    calls = []
+    orig = eng.run_with_deadline
+
+    def spy(fn, deadline_s, desc="", retries=2):
+        calls.append((deadline_s, retries, desc))
+        return orig(fn, None)
+
+    monkeypatch.setattr(eng, "run_with_deadline", spy)
+    mesh = create_mesh()
+    table = np.random.default_rng(0).standard_normal((32, 8)).astype(
+        np.float32)
+
+    def toy(params, ids, mask):
+        e = params[ids] * mask[..., None].astype(jnp.float32)
+        return e.sum(1)
+
+    enc = eng.CorpusEncoder(toy, mesh, chunk_size=8,
+                            stall_timeout_s=123.0, stall_retries=5)
+    ids = np.random.default_rng(1).integers(0, 32, (24, 4)).astype(np.int32)
+    out = enc(jnp.asarray(table), ids, np.ones_like(ids))
+    assert out.shape == (24, 8)
+    assert calls and all(c[:2] == (123.0, 5) for c in calls)
+    assert "encode pull" in calls[0][2]
