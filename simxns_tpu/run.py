@@ -263,7 +263,7 @@ def _build_index(index, encode_fn, params, token_ids, mask, mesh, vocab_size,
         index.build(enc(params, token_ids, mask))
 
 
-def _bert_cfg(recipe_bert, tiny: bool, vocab: int):
+def _bert_cfg(recipe_bert, tiny: bool, vocab: int, joint: bool = False):
     from simxns_tpu.models import BertConfig
 
     if tiny:
@@ -271,7 +271,16 @@ def _bert_cfg(recipe_bert, tiny: bool, vocab: int):
         # real token lengths (joint rows reach 160), past tiny()'s 128
         return BertConfig.tiny(vocab_size=vocab,
                                max_position_embeddings=256)
-    return recipe_bert.replace(vocab_size=max(recipe_bert.vocab_size, vocab))
+    cfg = recipe_bert.replace(vocab_size=max(recipe_bert.vocab_size, vocab))
+    if joint and cfg.small_s_attn is None:
+        # joint (cross-encoder) towers run S=160 rows — 128+32, neither
+        # VPU-lane- nor MXU-half-pass-aligned, where XLA's padded attention
+        # loses to the grouped VMEM-resident Pallas kernel: CE-large step
+        # 476 vs 597 ms same-session (1.25x, remat-neutral custom VJP;
+        # bench_r5 ce_attack). Encode towers keep the measured XLA default
+        # (the same kernel LOST in-model at BERT-base S=128, round 2).
+        cfg = cfg.replace(small_s_attn="group")
+    return cfg
 
 
 class _Corpus:
@@ -721,7 +730,8 @@ def run_ar2(name: str, cfg: AR2RecipeConfig, args) -> dict:
     negs = min(cfg.data.num_negatives, topk - 1, 3 if tiny else 10**9)
 
     de_cfg = _bert_cfg(cfg.retriever.bert, tiny, data.vocab_size)
-    ce_cfg = _bert_cfg(cfg.reranker.bert, tiny, data.vocab_size)
+    ce_cfg = _bert_cfg(cfg.reranker.bert, tiny, data.vocab_size,
+                       joint=True)
     if args.remat != "recipe":
         de_cfg = de_cfg.replace(remat=args.remat in ("de", "both"))
         ce_cfg = ce_cfg.replace(remat=args.remat in ("ce", "both"))
@@ -1243,7 +1253,7 @@ def run_kd(name: str, cfg: KDRecipeConfig, args) -> dict:
 
     s_cfg = _bert_cfg(cfg.student.bert, tiny, data.vocab_size)
     t_cfg = _bert_cfg(cfg.student.bert.replace(num_layers=12), tiny,
-                      data.vocab_size)
+                      data.vocab_size, joint=True)
     # --init-checkpoint: the PROD student init — first n layers of a deeper
     # HF checkpoint (ERNIE-2.0, ProD_KD/model/models.py:33-41,52-60)
     init = _load_init_checkpoint(args)
@@ -1480,7 +1490,8 @@ def run_lead(name: str, cfg, args) -> dict:
              data.query_ids.shape[1] + data.corpus_ids.shape[1] + 1)
 
     db_cfg = _bert_cfg(cfg.student.bert, tiny, data.vocab_size)
-    ce_cfg = _bert_cfg(cfg.teacher_ce.bert, tiny, data.vocab_size)
+    ce_cfg = _bert_cfg(cfg.teacher_ce.bert, tiny, data.vocab_size,
+                       joint=True)
     # --init-checkpoint: the LEAD student warm start (DistilBERT,
     # LEAD/modeling_distilbert.py + distill_from_12ce_to_6de.sh)
     init = _load_init_checkpoint(args)
